@@ -92,12 +92,16 @@ def write_header(pr: ImageProps) -> bytes:
 EOI = _marker(T.Marker.EOI)
 
 
-def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> tuple[bytes, int]:
+def pack_bits(
+    codes: np.ndarray, lengths: np.ndarray, max_bits: int = MAX_CODE_BITS
+) -> tuple[bytes, int]:
     """Pack (code, length) emissions MSB-first into bytes.
 
     ``codes[i]``'s low ``lengths[i]`` bits are emitted in order.  The final
     partial byte is padded with 1-bits (T.81 F.1.2.3).  Returns
     (packed bytes WITHOUT stuffing, total payload bit count).
+    ``max_bits``: maximum emission length (16 for raw codes, 32 for
+    pre-merged emission words).
     """
     codes = np.ascontiguousarray(codes, dtype=np.uint32)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
@@ -105,10 +109,10 @@ def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> tuple[bytes, int]:
     if total == 0:
         return b"", 0
     # bit j of row i (MSB first): (code >> (len-1-j)) & 1, valid when j < len
-    j = np.arange(MAX_CODE_BITS, dtype=np.int32)
+    j = np.arange(max_bits, dtype=np.int32)
     shifts = lengths[:, None] - 1 - j[None, :]
     valid = shifts >= 0
-    bits = (codes[:, None] >> np.maximum(shifts, 0).astype(np.uint32)) & 1
+    bits = (codes[:, None] >> np.minimum(np.maximum(shifts, 0), 31).astype(np.uint32)) & 1
     flat = bits[valid].astype(np.uint8)  # C-order mask selection == emission order
     pad = (-total) % 8
     if pad:

@@ -1,0 +1,202 @@
+"""Huffman entropy ENCODE as a batched array program (device, jnp).
+
+The reference walks each block serially, emitting variable-length codes
+through a bit cursor (src/encoder/jpezy_encoder.hpp:174-225).  TPU-first
+reformulation (cf. SURVEY.md section 2.7 and the GPU-JPEG literature):
+
+ 1. Every block's emission stream is expressed as exactly 64 *merged
+    emissions*: slot 0 = DC (code + extra bits), slot j = zigzag position j
+    (up to 3 ZRLs + code + extra, <= 59 bits, or EOB at slot 63).  All
+    emissions are computed data-parallel across blocks and slots:
+    zero-runs come from a max-scan over marked positions, magnitude
+    categories from exact comparison ladders (no transcendentals).
+ 2. Bit offsets are exclusive cumsums of emission lengths.
+ 3. Per-block bit packing is a scatter-free ONE-HOT MATMUL: each emission's
+    <=59 bits are aligned into a 96-bit window of three 32-bit words; the
+    window words are accumulated into the block's word buffer with
+    per-16-bit-half f32 matmuls (f32 holds < 2^24 exactly; disjoint bit
+    patterns never carry).  This keeps the whole entropy stage on the
+    MXU/VPU with static shapes.
+
+Cross-block concatenation (variable global offsets) happens on the host
+(numpy / C++), which is byte-granular splicing -- see
+jpezy_tpu.bitstream.splice.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import tables as T
+
+WORDS_PER_BLOCK = 64  # 2048 bits >= worst-case block (<= ~1700 bits)
+
+
+def _shr32(x, s):
+    """x >> s for s in [0, 32+], returning 0 when s >= 32 (uint32)."""
+    sm = jnp.clip(s, 0, 31)
+    return jnp.where(s >= 32, jnp.uint32(0), x >> sm.astype(jnp.uint32))
+
+
+def _shl32(x, s):
+    sm = jnp.clip(s, 0, 31)
+    return jnp.where(s >= 32, jnp.uint32(0), x << sm.astype(jnp.uint32))
+
+
+def bit_category(v: jnp.ndarray, max_bits: int = 12) -> jnp.ndarray:
+    """Magnitude category: bit length of |v| (exact comparison ladder).
+
+    Matches the reference's shift-count loops (jpezy_encoder.hpp:183-185,
+    202-204).  |v| < 2^max_bits required.
+    """
+    a = jnp.abs(v)
+    s = jnp.zeros_like(v)
+    for k in range(max_bits):
+        s = s + (a >= (1 << k)).astype(v.dtype)
+    return s
+
+
+def _append(hi, lo, n, bits, nbits):
+    """Append (bits, nbits<=16) to a 64-bit MSB-first accumulator (hi, lo, n)."""
+    bits = bits.astype(jnp.uint32)
+    nb = nbits.astype(jnp.int32)
+    carry = _shr32(lo, 32 - nb)          # top nb bits of lo move into hi
+    hi = jnp.where(nb > 0, _shl32(hi, nb) | carry, hi)
+    lo = jnp.where(nb > 0, _shl32(lo, nb) | bits, lo)
+    return hi, lo, n + nb
+
+
+def dc_predictors(dc: jnp.ndarray) -> jnp.ndarray:
+    """Previous DC in sequence; 0 for the first block
+    (the reference's pre_DC chain, jpezy_encoder.hpp:180-181)."""
+    return jnp.concatenate([jnp.zeros((1,), dc.dtype), dc[:-1]])
+
+
+def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool):
+    """[B, 64] quantized blocks -> merged emissions (hi, lo, nbits) [B, 64].
+
+    Emission slot 0: DC code + extra bits.
+    Slot j (1..63): ZRLs + AC code + extra for zigzag position j when the
+    coefficient is nonzero; EOB at slot 63 when position 63 is zero.
+    """
+    B = qblocks.shape[0]
+    dc_size = jnp.asarray(T.C_DC_SIZE if chroma else T.Y_DC_SIZE)
+    dc_code = jnp.asarray(T.C_DC_CODE if chroma else T.Y_DC_CODE)
+    ac_size = jnp.asarray(T.C_AC_SIZE if chroma else T.Y_AC_SIZE)
+    ac_code = jnp.asarray(T.C_AC_CODE if chroma else T.Y_AC_CODE)
+    zrl_s = int((T.C_AC_SIZE if chroma else T.Y_AC_SIZE)[T.ZRL_INDEX])
+    zrl_c = int((T.C_AC_CODE if chroma else T.Y_AC_CODE)[T.ZRL_INDEX])
+    eob_s = int((T.C_AC_SIZE if chroma else T.Y_AC_SIZE)[T.EOB_INDEX])
+    eob_c = int((T.C_AC_CODE if chroma else T.Y_AC_CODE)[T.EOB_INDEX])
+
+    # ---- DC (jpezy_encoder.hpp:179-192)
+    dc = qblocks[:, 0]
+    diff = dc - dc_pred
+    s = bit_category(diff)
+    hi0 = jnp.zeros((B,), jnp.uint32)
+    lo0 = jnp.zeros((B,), jnp.uint32)
+    n0 = jnp.zeros((B,), jnp.int32)
+    hi0, lo0, n0 = _append(hi0, lo0, n0, dc_code[s], dc_size[s])
+    extra = (jnp.where(diff < 0, diff - 1, diff).astype(jnp.uint32)
+             & (_shl32(jnp.uint32(1), s) - 1))
+    hi0, lo0, n0 = _append(hi0, lo0, n0, extra, s)
+
+    # ---- AC (jpezy_encoder.hpp:194-224)
+    zz = qblocks[:, jnp.asarray(T.ZIGZAG)][:, 1:]  # [B, 63]
+    nz = zz != 0
+    pos = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    marked = jnp.where(nz, pos, 0)
+    prev_incl = jax_cummax(marked)
+    prev_excl = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), prev_incl[:, :-1]], axis=1
+    )
+    run = pos - prev_excl - 1
+    zrl_count = jnp.where(nz, run >> 4, 0)
+    rem = run & 15
+    s_ac = bit_category(zz)
+    idx = rem * 10 + s_ac + (rem == 15)
+
+    hi = jnp.zeros((B, 63), jnp.uint32)
+    lo = jnp.zeros((B, 63), jnp.uint32)
+    n = jnp.zeros((B, 63), jnp.int32)
+    for k in range(3):  # `while run > 15` ZRL loop, unrolled (max 3)
+        on = nz & (zrl_count > k)
+        hi, lo, n = _append(hi, lo, n, jnp.where(on, zrl_c, 0),
+                            jnp.where(on, zrl_s, 0))
+    hi, lo, n = _append(hi, lo, n,
+                        jnp.where(nz, ac_code[idx], 0),
+                        jnp.where(nz, ac_size[idx], 0))
+    extra_ac = (jnp.where(zz < 0, zz - 1, zz).astype(jnp.uint32)
+                & (_shl32(jnp.uint32(1), s_ac) - 1))
+    hi, lo, n = _append(hi, lo, n, jnp.where(nz, extra_ac, 0),
+                        jnp.where(nz, s_ac, 0))
+
+    # EOB at slot 63 when zigzag position 63 is zero (jpezy_encoder.hpp:219)
+    eob = ~nz[:, -1]
+    hi = hi.at[:, -1].set(jnp.where(eob, jnp.uint32(0), hi[:, -1]))
+    lo = lo.at[:, -1].set(jnp.where(eob, jnp.uint32(eob_c), lo[:, -1]))
+    n = n.at[:, -1].set(jnp.where(eob, eob_s, n[:, -1]))
+
+    hi_all = jnp.concatenate([hi0[:, None], hi], axis=1)
+    lo_all = jnp.concatenate([lo0[:, None], lo], axis=1)
+    n_all = jnp.concatenate([n0[:, None], n], axis=1)
+    return hi_all, lo_all, n_all
+
+
+def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running max along axis 1."""
+    import jax
+
+    return jax.lax.cummax(x, axis=1)
+
+
+def _shr64_low32(hi, lo, d):
+    """low 32 bits of (hi:lo) >> d, d in [0, 63]; 0 for d >= 64."""
+    low = _shr32(lo, d) | _shl32(hi, 32 - d)     # valid when d < 32
+    high = _shr32(hi, d - 32)                    # valid when d >= 32
+    return jnp.where(d < 32, low, high)
+
+
+def pack_block_words(hi, lo, nbits):
+    """Pack merged emissions into per-block 32-bit words.
+
+    hi, lo: [B, 64] uint32 emission values (MSB-justified in (hi:lo) low bits),
+    nbits: [B, 64] int32 emission lengths (<= 59).
+    Returns (words [B, WORDS_PER_BLOCK] uint32 MSB-first, bits_per_block [B]).
+
+    Scatter-free: each emission is aligned into a 96-bit window (3 words)
+    starting at its word offset; windows are accumulated per target word with
+    one-hot f32 matmuls over 16-bit halves (values < 2^16, sums of disjoint
+    bit patterns < 2^24 -> exact in f32).
+    """
+    B, E = nbits.shape
+    off = jnp.cumsum(nbits, axis=1) - nbits          # exclusive
+    total = off[:, -1] + nbits[:, -1]
+    w0 = off >> 5
+    p = off & 31
+    # window shift: value v (nbits long) placed so its MSB sits at bit p of W0
+    sh = 96 - p - nbits                              # in [6, 96]
+    wwords = []
+    for k in range(3):
+        d = 32 * (2 - k) - sh                        # W_k = low32(v >> d), shl if d<0
+        pos_part = _shr64_low32(hi, lo, jnp.clip(d, 0, 63))
+        neg_part = _shl32(lo, jnp.clip(-d, 0, 32))
+        wk = jnp.where(d >= 0, jnp.where(d < 64, pos_part, 0),
+                       jnp.where(-d < 32, neg_part, 0))
+        wk = jnp.where(nbits > 0, wk, 0)
+        wwords.append(wk)
+
+    # accumulate into word buffer via one-hot matmul on 16-bit halves
+    words_hi = jnp.zeros((B, WORDS_PER_BLOCK), jnp.float32)
+    words_lo = jnp.zeros((B, WORDS_PER_BLOCK), jnp.float32)
+    warange = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    for k in range(3):
+        onehot = (w0[:, None, :] + k == warange[None, :, None]).astype(jnp.float32)  # [B, W, E]
+        vh = (wwords[k] >> jnp.uint32(16)).astype(jnp.float32)           # [B, E]
+        vl = (wwords[k] & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        words_hi = words_hi + jnp.einsum(
+            "bwe,be->bw", onehot, vh, preferred_element_type=jnp.float32)
+        words_lo = words_lo + jnp.einsum(
+            "bwe,be->bw", onehot, vl, preferred_element_type=jnp.float32)
+    words = (words_hi.astype(jnp.uint32) << 16) | words_lo.astype(jnp.uint32)
+    return words, total

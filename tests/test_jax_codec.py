@@ -1,0 +1,159 @@
+"""Device (JAX) codec vs the numpy oracle and PIL.
+
+Run on CPU backend (conftest).  The fast (float32) path must produce valid
+streams of oracle-equivalent quality; byte-exact equality with the oracle is
+checked at the entropy layer given identical quantized coefficients, and for
+the whole stream under float64.
+"""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpezy_tpu.codec import jax_codec, oracle
+from jpezy_tpu.bitstream.splice import splice_blocks
+from jpezy_tpu.bitstream import writer
+
+
+def split(rgb):
+    return rgb[..., 0], rgb[..., 1], rgb[..., 2]
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+class TestEncodeFast:
+    def test_pil_decodes_stream(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb))
+        out = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert out.shape == small_rgb.shape
+        assert psnr(out, small_rgb) > 23.0
+
+    def test_close_to_oracle_stream_quality(self, small_rgb):
+        ours = jax_codec.encode(*split(small_rgb))
+        ref = oracle.encode(*split(small_rgb))
+        a = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+        # float32 vs float64 transforms: rare +-1 coefficient flips only
+        assert abs(len(ours) - len(ref)) < 0.01 * len(ref) + 64
+        assert psnr(a, b) > 45.0
+
+    def test_odd_dims(self, odd_rgb):
+        data = jax_codec.encode(*split(odd_rgb))
+        out = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert out.shape == odd_rgb.shape
+        assert psnr(out, odd_rgb) > 22.0
+
+    def test_gray(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb), gray=True)
+        out = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.abs(out[..., 0].astype(int) - out[..., 1].astype(int)).max() <= 2
+
+    def test_rounded_quant_beats_reference_psnr(self, small_rgb):
+        """Extension mode: round-to-nearest quantization > truncating."""
+        trunc = jax_codec.encode(*split(small_rgb))
+        rnd = jax_codec.encode(*split(small_rgb), rounded=True)
+        a = np.asarray(Image.open(io.BytesIO(trunc)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(rnd)).convert("RGB"))
+        assert psnr(b, small_rgb) > psnr(a, small_rgb) + 0.5
+
+
+class TestEntropyLayerExact:
+    """Given the oracle's quantized coefficients, the device entropy encoder
+    must reproduce the oracle's packed bytes EXACTLY."""
+
+    def _entropy_bytes_oracle(self, rgb, gray=False):
+        # run oracle up to quantized blocks, then its packer
+        r, g, b = split(rgb)
+        h, w = r.shape
+        from jpezy_tpu.core.geometry import EncodeGeometry
+
+        geo = EncodeGeometry(w, h)
+        y, cb, cr = oracle.rgb_to_ycc(r, g, b)
+        y = oracle.pad_replicate(y, geo.padded_height, geo.padded_width)
+        cb = oracle.pad_replicate(cb, geo.padded_height, geo.padded_width)[0::2, 0::2]
+        cr = oracle.pad_replicate(cr, geo.padded_height, geo.padded_width)[0::2, 0::2]
+        yq = oracle.quantize(oracle.forward_dct(oracle.blockify_luma(y)), False)
+        cbq = oracle.quantize(oracle.forward_dct(oracle.blockify_chroma(cb)), True)
+        crq = oracle.quantize(oracle.forward_dct(oracle.blockify_chroma(cr)), True)
+        yc, yl = oracle.encode_block_emissions(yq, oracle.dc_predictors(yq[:, 0]), False)
+        cbc, cbl = oracle.encode_block_emissions(cbq, oracle.dc_predictors(cbq[:, 0]), True)
+        crc, crl = oracle.encode_block_emissions(crq, oracle.dc_predictors(crq[:, 0]), True)
+        codes = oracle.interleave_mcu(yc, cbc, crc).reshape(-1)
+        lens = oracle.interleave_mcu(yl, cbl, crl).reshape(-1)
+        packed, total = writer.pack_bits(codes, lens)
+        return packed, total, (yq, cbq, crq)
+
+    def test_device_entropy_matches_oracle_bytes(self, small_rgb):
+        import jax.numpy as jnp
+        from jpezy_tpu.ops import entropy as E
+
+        packed_ref, total_ref, (yq, cbq, crq) = self._entropy_bytes_oracle(small_rgb)
+
+        streams = []
+        for q, chroma in ((yq, False), (cbq, True), (crq, True)):
+            qj = jnp.asarray(q)
+            hi, lo, n = E.block_emissions(qj, E.dc_predictors(qj[:, 0]), chroma)
+            streams.append(E.pack_block_words(hi, lo, n))
+        (yw, yb), (cbw, cbb), (crw, crb) = streams
+        nm = cbq.shape[0]
+        W = E.WORDS_PER_BLOCK
+        words = np.concatenate(
+            [np.asarray(yw).reshape(nm, 4, W),
+             np.asarray(cbw).reshape(nm, 1, W),
+             np.asarray(crw).reshape(nm, 1, W)], axis=1
+        ).reshape(nm * 6, W)
+        bits = np.concatenate(
+            [np.asarray(yb).reshape(nm, 4),
+             np.asarray(cbb).reshape(nm, 1),
+             np.asarray(crb).reshape(nm, 1)], axis=1
+        ).reshape(nm * 6)
+        packed_dev, total_dev = splice_blocks(words, bits)
+        assert total_dev == total_ref
+        assert packed_dev == packed_ref
+
+
+class TestDecode:
+    def test_decode_oracle_stream(self, small_rgb):
+        data = oracle.encode(*split(small_rgb))
+        ro, go, bo, _ = oracle.decode(data)
+        rj, gj, bj, props = jax_codec.decode(data)
+        assert (props.width, props.height) == (48, 64)
+        ours = np.stack([rj, gj, bj], -1).astype(int)
+        ref = np.stack([ro, go, bo], -1).astype(int)
+        # fast path: float32 IDCT reconstruction clusters near integers, so
+        # truncation ties flip ~10% of pixels by exactly 1 vs the double math
+        assert np.abs(ours - ref).max() <= 1
+
+    def test_decode_exact_mode_bitexact_vs_oracle(self, small_rgb):
+        """precision='exact' must reproduce the oracle (= the reference's
+        double-precision semantics) bit for bit."""
+        data = oracle.encode(*split(small_rgb))
+        ro, go, bo, _ = oracle.decode(data)
+        rj, gj, bj, _ = jax_codec.decode(data, precision="exact")
+        assert np.array_equal(rj, ro)
+        assert np.array_equal(gj, go)
+        assert np.array_equal(bj, bo)
+
+    def test_encode_exact_mode_bitexact_vs_oracle(self, small_rgb):
+        assert jax_codec.encode(*split(small_rgb), precision="exact") == \
+            oracle.encode(*split(small_rgb))
+
+    def test_encode_exact_mode_bitexact_odd(self, odd_rgb):
+        assert jax_codec.encode(*split(odd_rgb), precision="exact") == \
+            oracle.encode(*split(odd_rgb))
+
+    def test_roundtrip(self, odd_rgb):
+        data = jax_codec.encode(*split(odd_rgb))
+        r, g, b, props = jax_codec.decode(data)
+        out = np.stack([r, g, b], -1)
+        assert out.shape == odd_rgb.shape
+        assert psnr(out, odd_rgb) > 22.0
+
+    def test_gray_flag_decode(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb))
+        r, g, b, _ = jax_codec.decode(data, gray=True)
+        assert np.array_equal(r, g) and np.array_equal(g, b)
