@@ -157,24 +157,14 @@ def _shr64_low32(hi, lo, d):
     return jnp.where(d < 32, low, high)
 
 
-def pack_block_words(hi, lo, nbits):
-    """Pack merged emissions into per-block 32-bit words.
+def _window_words(hi, lo, nbits, off):
+    """Align each emission's <=59 bits into a 96-bit window of 3 words.
 
-    hi, lo: [B, 64] uint32 emission values (MSB-justified in (hi:lo) low bits),
-    nbits: [B, 64] int32 emission lengths (<= 59).
-    Returns (words [B, WORDS_PER_BLOCK] uint32 MSB-first, bits_per_block [B]).
-
-    Scatter-free: each emission is aligned into a 96-bit window (3 words)
-    starting at its word offset; windows are accumulated per target word with
-    one-hot f32 matmuls over 16-bit halves (values < 2^16, sums of disjoint
-    bit patterns < 2^24 -> exact in f32).
+    Returns (w0 [.., E] start word index, (W0, W1, W2) window word values).
     """
-    B, E = nbits.shape
-    off = jnp.cumsum(nbits, axis=1) - nbits          # exclusive
-    total = off[:, -1] + nbits[:, -1]
     w0 = off >> 5
     p = off & 31
-    # window shift: value v (nbits long) placed so its MSB sits at bit p of W0
+    # value v (nbits long) placed so its MSB sits at bit p of W0
     sh = 96 - p - nbits                              # in [6, 96]
     wwords = []
     for k in range(3):
@@ -183,20 +173,41 @@ def pack_block_words(hi, lo, nbits):
         neg_part = _shl32(lo, jnp.clip(-d, 0, 32))
         wk = jnp.where(d >= 0, jnp.where(d < 64, pos_part, 0),
                        jnp.where(-d < 32, neg_part, 0))
-        wk = jnp.where(nbits > 0, wk, 0)
+        wk = jnp.where(nbits > 0, wk, jnp.uint32(0))
         wwords.append(wk)
+    return w0, wwords
 
-    # accumulate into word buffer via one-hot matmul on 16-bit halves
-    words_hi = jnp.zeros((B, WORDS_PER_BLOCK), jnp.float32)
-    words_lo = jnp.zeros((B, WORDS_PER_BLOCK), jnp.float32)
-    warange = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
-    for k in range(3):
-        onehot = (w0[:, None, :] + k == warange[None, :, None]).astype(jnp.float32)  # [B, W, E]
-        vh = (wwords[k] >> jnp.uint32(16)).astype(jnp.float32)           # [B, E]
-        vl = (wwords[k] & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        words_hi = words_hi + jnp.einsum(
-            "bwe,be->bw", onehot, vh, preferred_element_type=jnp.float32)
-        words_lo = words_lo + jnp.einsum(
-            "bwe,be->bw", onehot, vl, preferred_element_type=jnp.float32)
-    words = (words_hi.astype(jnp.uint32) << 16) | words_lo.astype(jnp.uint32)
+
+def pack_block_words(hi, lo, nbits):
+    """Pack merged emissions into per-block 32-bit words.
+
+    hi, lo: [B, 64] uint32 emission values (MSB-justified in (hi:lo) low bits),
+    nbits: [B, 64] int32 emission lengths (<= 59).
+    Returns (words [B, WORDS_PER_BLOCK] uint32 MSB-first, bits_per_block [B]).
+
+    Scatter-free: each emission is aligned into a 96-bit window (3 words)
+    starting at its word offset; a fori_loop over the 64 emission slots
+    accumulates windows into the word buffer with masked adds (disjoint bit
+    patterns, so add == or).  All shapes static; pure VPU work.
+    """
+    import jax
+
+    B, E = nbits.shape
+    off = jnp.cumsum(nbits, axis=1) - nbits          # exclusive
+    total = off[:, -1] + nbits[:, -1]
+    w0, wwords = _window_words(hi, lo, nbits, off)
+    wstack = jnp.stack(wwords)                       # [3, B, E]
+
+    warange = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]  # [1, W]
+
+    def body(e, words):
+        w0e = jax.lax.dynamic_slice_in_dim(w0, e, 1, axis=1)         # [B, 1]
+        for k in range(3):
+            vk = jax.lax.dynamic_slice_in_dim(wstack[k], e, 1, axis=1)  # [B, 1]
+            words = words | jnp.where(warange == w0e + k, vk, jnp.uint32(0))
+        return words
+
+    words = jax.lax.fori_loop(
+        0, E, body, jnp.zeros((B, WORDS_PER_BLOCK), jnp.uint32)
+    )
     return words, total
