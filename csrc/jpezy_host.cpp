@@ -1,0 +1,289 @@
+// jpezy_tpu native host runtime.
+//
+// TPU-native split: all per-block math runs on the TPU (JAX/XLA); this
+// library covers the byte-granular host work the reference did in C++
+// (SURVEY.md sections 2.2, 2.5): ASCII PPM tokenizing, entropy bitstream
+// splice/stuffing, and the serial Huffman DECODE frontend (bit cursor +
+// canonical-code LUT walk), which produces [nblocks, 64] coefficient arrays
+// for the device backend.
+//
+// Behavioral contracts mirrored from the reference:
+//   - bit-by-bit canonical Huffman decode with table-driven fast path
+//     (jpezy_decoder.hpp:583-642 semantics via 16-bit window LUTs)
+//   - DC sign extension `v -= (1<<cat)-1` (jpezy_decoder.hpp:590-592)
+//   - de-zigzag scatter into natural order (jpezy_decoder.hpp:622)
+//   - byte stuffing 0xFF -> 0xFF 0x00 on encode, inverse + RSTn handling on
+//     decode (srook bofstream/bifstream contract, SURVEY.md section 2.5)
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see runtime/native.py).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// ASCII integer scanning (PPM P3 parse).  Returns count of ints written.
+// ---------------------------------------------------------------------------
+long jz_scan_ints_i32(const char* s, long n, int32_t* out, long cap) {
+    long count = 0;
+    long i = 0;
+    while (i < n && count < cap) {
+        // skip whitespace and comment lines
+        while (i < n) {
+            char c = s[i];
+            if (c == '#') {
+                while (i < n && s[i] != '\n') ++i;
+            } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+                       c == '\v' || c == '\f') {
+                ++i;
+            } else {
+                break;
+            }
+        }
+        if (i >= n) break;
+        bool neg = false;
+        if (s[i] == '-') { neg = true; ++i; }
+        int32_t v = 0;
+        bool any = false;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            v = v * 10 + (s[i] - '0');
+            ++i; any = true;
+        }
+        if (!any) { ++i; continue; }  // non-numeric token: skip one char
+        out[count++] = neg ? -v : v;
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// P3 serialization: "r g b\n" per pixel.  Returns bytes written.
+// ---------------------------------------------------------------------------
+static inline char* put_u8(char* p, unsigned v) {
+    if (v >= 100) { *p++ = '0' + v / 100; v %= 100; *p++ = '0' + v / 10; *p++ = '0' + v % 10; }
+    else if (v >= 10) { *p++ = '0' + v / 10; *p++ = '0' + v % 10; }
+    else { *p++ = '0' + v; }
+    return p;
+}
+
+long jz_serialize_p3_pixels(const uint8_t* rgb, long npix, char* out) {
+    char* p = out;
+    for (long i = 0; i < npix; ++i) {
+        p = put_u8(p, rgb[3 * i]);     *p++ = ' ';
+        p = put_u8(p, rgb[3 * i + 1]); *p++ = ' ';
+        p = put_u8(p, rgb[3 * i + 2]); *p++ = '\n';
+    }
+    return (long)(p - out);
+}
+
+// ---------------------------------------------------------------------------
+// Byte stuffing: insert 0x00 after each 0xFF.  Returns output length.
+// ---------------------------------------------------------------------------
+long jz_byte_stuff(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0;
+    for (long i = 0; i < n; ++i) {
+        out[o++] = in[i];
+        if (in[i] == 0xFF) out[o++] = 0x00;
+    }
+    return o;
+}
+
+// ---------------------------------------------------------------------------
+// Splice per-block bitstrings (words MSB-first) into one stream, 1-padded to
+// a byte boundary.  Returns total payload bits (before padding).
+// out must hold ceil((sum(bits)+7)/8) bytes, zero-initialized by the caller.
+// ---------------------------------------------------------------------------
+long jz_splice_bits(const uint32_t* words, const int32_t* bits, long nblocks,
+                    int words_per_block, uint8_t* out) {
+    long bitpos = 0;
+    for (long b = 0; b < nblocks; ++b) {
+        const uint32_t* w = words + (long)b * words_per_block;
+        int nb = bits[b];
+        int widx = 0;
+        while (nb > 0) {
+            int take = nb < 32 ? nb : 32;
+            uint32_t v = w[widx++];
+            // write `take` MSBs of v at bitpos
+            int sh = (int)(bitpos & 7);
+            long byt = bitpos >> 3;
+            // 64-bit staging: v's take bits, MSB-aligned to bit `sh` of out[byt]
+            uint64_t stage = ((uint64_t)v << 32) >> sh;  // 64-bit window
+            out[byt]     |= (uint8_t)(stage >> 56);
+            out[byt + 1] |= (uint8_t)(stage >> 48);
+            out[byt + 2] |= (uint8_t)(stage >> 40);
+            out[byt + 3] |= (uint8_t)(stage >> 32);
+            out[byt + 4] |= (uint8_t)(stage >> 24);
+            bitpos += take;
+            nb -= take;
+        }
+    }
+    // 1-pad to byte boundary (T.81 F.1.2.3)
+    int pad = (int)((8 - (bitpos & 7)) & 7);
+    if (pad) {
+        long byt = bitpos >> 3;
+        out[byt] |= (uint8_t)((1 << pad) - 1);
+    }
+    return bitpos;
+}
+
+// ---------------------------------------------------------------------------
+// Entropy decode frontend.
+//
+// Reads raw file bytes starting at the entropy-coded segment, handling byte
+// stuffing (FF 00) and restart markers (FF D0-D7) inline.  Decodes all MCUs
+// into per-component [nblocks, 64] int32 coefficient arrays (natural order,
+// absolute DC).  Returns number of MCUs decoded, or -1 on format error.
+//
+// LUTs: per scan-component, 2^16-entry int32 arrays, value = (HUFFVAL<<8)|len,
+// -1 for invalid windows (built host-side from the DHT tables).
+// ---------------------------------------------------------------------------
+struct BitReader {
+    const uint8_t* d;
+    long n;
+    long pos;          // next byte index
+    uint64_t acc;      // bit accumulator, MSB-first
+    int nbits;         // valid bits in acc (top bits)
+    bool at_marker;    // hit a non-RST marker
+    int pending_rst;   // -1 none, else RST index 0-7 encountered during fill
+
+    void init(const uint8_t* data, long len) {
+        d = data; n = len; pos = 0; acc = 0; nbits = 0;
+        at_marker = false; pending_rst = -1;
+    }
+    // fill accumulator to >= 25 bits (enough for a 16-bit peek + 11 extra)
+    inline void fill() {
+        while (nbits <= 56) {
+            if (pos >= n) { acc |= 0; nbits += 8; continue; }  // 0-fill at EOF
+            uint8_t b = d[pos];
+            if (b == 0xFF) {
+                if (pos + 1 < n) {
+                    uint8_t b2 = d[pos + 1];
+                    if (b2 == 0x00) {
+                        pos += 2;
+                        acc |= (uint64_t)0xFF << (56 - nbits);
+                        nbits += 8;
+                        continue;
+                    }
+                    if (b2 >= 0xD0 && b2 <= 0xD7) {
+                        if (pending_rst < 0 && nbits == 0) {
+                            // consume restart marker only when aligned & drained
+                            pending_rst = b2 - 0xD0;
+                            pos += 2;
+                            continue;
+                        }
+                        // leave for later; stop filling real bits
+                        nbits += 8;  // phantom zeros
+                        continue;
+                    }
+                }
+                at_marker = true;
+                nbits += 8;  // phantom zeros beyond marker
+                continue;
+            }
+            pos += 1;
+            acc |= (uint64_t)b << (56 - nbits);
+            nbits += 8;
+        }
+    }
+    inline uint32_t peek16() { return (uint32_t)(acc >> 48); }
+    inline void drop(int k) { acc <<= k; nbits -= k; }
+    inline int32_t read_bits(int k) {
+        if (k == 0) return 0;
+        int32_t v = (int32_t)(acc >> (64 - k));
+        acc <<= k; nbits -= k;
+        return v;
+    }
+    // align to byte boundary and consume an expected RST marker
+    inline bool sync_restart() {
+        // drop partial bits in acc down to byte alignment of source:
+        // simplest: reset accumulator to the current byte position state.
+        // Discard whatever is buffered (decoder reached MCU boundary; any
+        // remaining buffered bits are padding before the marker).
+        acc = 0; nbits = 0;
+        if (pending_rst >= 0) { pending_rst = -1; return true; }
+        // scan forward for the marker
+        while (pos + 1 < n) {
+            if (d[pos] == 0xFF && d[pos + 1] >= 0xD0 && d[pos + 1] <= 0xD7) {
+                pos += 2;
+                return true;
+            }
+            if (d[pos] == 0xFF && d[pos + 1] != 0x00) return false;  // real marker
+            ++pos;
+        }
+        return false;
+    }
+};
+
+int64_t jz_entropy_decode(
+    const uint8_t* data, long nbytes,
+    const int32_t* const* dc_luts,   // [ncomp] -> int32[65536]
+    const int32_t* const* ac_luts,
+    const int32_t* zigzag,           // ZZ[64]
+    int ncomp,
+    const int32_t* comp_h,           // per-component H sampling
+    const int32_t* comp_v,
+    int64_t n_mcus,
+    int restart_interval,
+    int32_t* const* out_coeffs       // [ncomp] -> int32[nblocks*64]
+) {
+    BitReader br;
+    br.init(data, nbytes);
+    int64_t pred[4] = {0, 0, 0, 0};
+    int64_t blk_count[4] = {0, 0, 0, 0};
+    int64_t since_restart = 0;
+
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        if (restart_interval > 0 && since_restart == restart_interval) {
+            if (!br.sync_restart()) return -2;
+            pred[0] = pred[1] = pred[2] = pred[3] = 0;
+            since_restart = 0;
+        }
+        for (int c = 0; c < ncomp; ++c) {
+            const int32_t* dlut = dc_luts[c];
+            const int32_t* alut = ac_luts[c];
+            int nb = comp_h[c] * comp_v[c];
+            for (int k = 0; k < nb; ++k) {
+                int32_t* blk = out_coeffs[c] + blk_count[c] * 64;
+                blk_count[c] += 1;
+                // DC
+                br.fill();
+                int32_t e = dlut[br.peek16()];
+                if (e < 0) return -3;
+                int cat = e >> 8;
+                br.drop(e & 0xFF);
+                int32_t dc = 0;
+                if (cat > 0) {
+                    int32_t v = br.read_bits(cat);
+                    if (!(v & (1 << (cat - 1)))) v -= (1 << cat) - 1;
+                    dc = v;
+                }
+                pred[c] += dc;
+                blk[0] = (int32_t)pred[c];
+                // AC
+                int kk = 1;
+                while (kk < 64) {
+                    br.fill();
+                    int32_t ae = alut[br.peek16()];
+                    if (ae < 0) return -4;
+                    int rs = ae >> 8;
+                    br.drop(ae & 0xFF);
+                    int run = rs >> 4, s = rs & 0x0F;
+                    if (s == 0) {
+                        if (run == 15) { kk += 16; continue; }  // ZRL
+                        break;                                   // EOB
+                    }
+                    kk += run;
+                    if (kk > 63) return -5;
+                    int32_t v = br.read_bits(s);
+                    if (!(v & (1 << (s - 1)))) v -= (1 << s) - 1;
+                    blk[zigzag[kk]] = v;
+                    ++kk;
+                }
+            }
+        }
+        since_restart += 1;
+    }
+    return n_mcus;
+}
+
+}  // extern "C"

@@ -17,8 +17,19 @@ def splice_blocks(words: np.ndarray, bits: np.ndarray) -> tuple[bytes, int]:
     """words: [B, W] uint32 MSB-first per-block streams; bits: [B] lengths.
 
     Returns (packed bytes, total bit count), final partial byte 1-padded
-    (T.81 F.1.2.3).
+    (T.81 F.1.2.3).  Uses the C++ runtime when available.
     """
+    try:
+        from ..runtime import native
+
+        return native.splice_bits(words, bits)
+    except ImportError:
+        pass
+    return splice_blocks_numpy(words, bits)
+
+
+def splice_blocks_numpy(words: np.ndarray, bits: np.ndarray) -> tuple[bytes, int]:
+    """Pure-numpy splice (fallback + differential-testing reference)."""
     words = np.ascontiguousarray(words, dtype=np.uint32)
     bits = np.ascontiguousarray(bits, dtype=np.int64)
     B, W = words.shape

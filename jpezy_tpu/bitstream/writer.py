@@ -126,7 +126,12 @@ def byte_stuff(entropy: bytes) -> bytes:
     ff = np.nonzero(arr == 0xFF)[0]
     if len(ff) == 0:
         return entropy
-    return np.insert(arr, ff + 1, 0).tobytes()
+    try:
+        from ..runtime import native
+
+        return native.byte_stuff(entropy)
+    except ImportError:
+        return np.insert(arr, ff + 1, 0).tobytes()
 
 
 def assemble(header: bytes, entropy_packed: bytes) -> bytes:

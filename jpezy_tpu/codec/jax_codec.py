@@ -110,6 +110,39 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     return writer.assemble(header, packed)
 
 
+@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
+def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast", rounded=False):
+    from ..parallel.sharded import _encode_local
+
+    return _encode_local(r, g, b, gray=gray, dtype=_dtype(precision),
+                         rounded=rounded, tile_axis=None)
+
+
+def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
+                 precision: str = "fast", rounded: bool = False) -> list[bytes]:
+    """Encode a uniform batch [N, H, W, 3] uint8 -> list of JFIF streams.
+
+    H, W must be multiples of 16 (use encode() per image otherwise; batched
+    mixed sizes go through bucketing in jpezy_tpu.runtime.batch).
+    """
+    n, h, w = rgbs.shape[:3]
+    if h % 16 or w % 16:
+        raise ValueError("encode_batch needs multiple-of-16 dims")
+    words, bits = _encode_batch_blocks(
+        jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
+        jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
+        rounded=rounded,
+    )
+    words = np.asarray(words)
+    bits = np.asarray(bits)
+    header = writer.write_header(make_encode_props(w, h, gray=gray))
+    out = []
+    for i in range(n):
+        packed, _ = splice_blocks(words[i], bits[i])
+        out.append(writer.assemble(header, packed))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------

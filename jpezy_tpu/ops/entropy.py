@@ -207,7 +207,10 @@ def pack_block_words(hi, lo, nbits):
             words = words | jnp.where(warange == w0e + k, vk, jnp.uint32(0))
         return words
 
-    words = jax.lax.fori_loop(
-        0, E, body, jnp.zeros((B, WORDS_PER_BLOCK), jnp.uint32)
+    # derive the zero init from an input so it inherits sharding/varying axes
+    # (a bare jnp.zeros carry breaks under shard_map's manual-axes checks)
+    init = jnp.broadcast_to(
+        w0[:, :1].astype(jnp.uint32) & jnp.uint32(0), (B, WORDS_PER_BLOCK)
     )
+    words = jax.lax.fori_loop(0, E, body, init)
     return words, total

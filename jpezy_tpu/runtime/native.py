@@ -1,0 +1,172 @@
+"""ctypes loader for the C++ host runtime (csrc/jpezy_host.cpp).
+
+Builds lazily with g++ on first import (cached in build/), falls back with
+ImportError so every caller has a numpy path.  Covers the host-side hot
+loops: PPM ASCII tokenizing, P3 serialization, bitstring splice, byte
+stuffing, and the serial Huffman decode frontend.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "csrc", "jpezy_host.cpp")
+_BUILD_DIR = os.path.join(_REPO, "build")
+_SO = os.path.join(_BUILD_DIR, "libjpezy_host.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(ImportError):
+    pass
+
+
+def _build() -> None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except (OSError, subprocess.CalledProcessError) as e:
+            raise NativeUnavailable(f"native host lib unavailable: {e}") from e
+
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+        lib.jz_scan_ints_i32.restype = ctypes.c_long
+        lib.jz_scan_ints_i32.argtypes = [ctypes.c_char_p, ctypes.c_long, c_i32p, ctypes.c_long]
+        lib.jz_serialize_p3_pixels.restype = ctypes.c_long
+        lib.jz_serialize_p3_pixels.argtypes = [c_u8p, ctypes.c_long, ctypes.c_char_p]
+        lib.jz_byte_stuff.restype = ctypes.c_long
+        lib.jz_byte_stuff.argtypes = [c_u8p, ctypes.c_long, c_u8p]
+        lib.jz_splice_bits.restype = ctypes.c_long
+        lib.jz_splice_bits.argtypes = [c_u32p, c_i32p, ctypes.c_long, ctypes.c_int, c_u8p]
+        lib.jz_entropy_decode.restype = ctypes.c_int64
+        lib.jz_entropy_decode.argtypes = [
+            c_u8p, ctypes.c_long,
+            ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
+            c_i32p, ctypes.c_int, c_i32p, c_i32p,
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(c_i32p),
+        ]
+        _lib = lib
+        return _lib
+
+
+def _i32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def scan_ints(data: bytes, cap: int) -> np.ndarray:
+    """All whitespace-separated ints in data (comments skipped)."""
+    lib = get_lib()
+    out = np.empty(cap, dtype=np.int32)
+    n = lib.jz_scan_ints_i32(data, len(data), _i32p(out), cap)
+    return out[:n]
+
+
+def serialize_p3_pixels(rgb: np.ndarray) -> bytes:
+    """rgb [H, W, 3] uint8 -> b'r g b\\n' per pixel."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(rgb, dtype=np.uint8)
+    npix = flat.size // 3
+    buf = ctypes.create_string_buffer(npix * 12)
+    n = lib.jz_serialize_p3_pixels(_u8p(flat), npix, buf)
+    return buf.raw[:n]
+
+
+def byte_stuff(data: bytes) -> bytes:
+    lib = get_lib()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(2 * len(arr) + 1, dtype=np.uint8)
+    n = lib.jz_byte_stuff(_u8p(arr), len(arr), _u8p(out))
+    return out[:n].tobytes()
+
+
+def splice_bits(words: np.ndarray, bits: np.ndarray) -> tuple[bytes, int]:
+    """Per-block words [B, W] uint32 + bit counts [B] -> packed bytes."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    bits_arr = np.ascontiguousarray(bits, dtype=np.int32)
+    total = int(bits_arr.sum())
+    out = np.zeros((total + 7) // 8 + 8, dtype=np.uint8)  # +slack for 5-byte OR
+    n = lib.jz_splice_bits(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i32p(bits_arr), words.shape[0], words.shape[1], _u8p(out),
+    )
+    assert n == total
+    return out[: (total + 7) // 8].tobytes(), total
+
+
+def _huff_lut(tbl) -> np.ndarray:
+    """16-bit window -> (HUFFVAL << 8) | code_length, -1 invalid."""
+    lut = np.full(1 << 16, -1, dtype=np.int32)
+    for size, code, value in zip(tbl.sizes, tbl.codes, tbl.values):
+        size = int(size); code = int(code)
+        lo = code << (16 - size)
+        lut[lo : lo + (1 << (16 - size))] = (int(value) << 8) | size
+    return lut
+
+
+def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:
+    """Serial Huffman decode of a parsed JPEG -> per-component [B, 64] blocks.
+
+    pj: jpezy_tpu.bitstream.reader.ParsedJpeg
+    """
+    from ..core import tables as T
+
+    lib = get_lib()
+    ncomp = len(pj.scan_components)
+    dc_luts = [_huff_lut(pj.huff[0][sc.Td]) for sc in pj.scan_components]
+    ac_luts = [_huff_lut(pj.huff[1][sc.Ta]) for sc in pj.scan_components]
+
+    comp_h = np.array([fc.H for fc in pj.frame_components], dtype=np.int32)
+    comp_v = np.array([fc.V for fc in pj.frame_components], dtype=np.int32)
+    outs = [
+        np.zeros((n_mcus * int(comp_h[i] * comp_v[i]), 64), dtype=np.int32)
+        for i in range(ncomp)
+    ]
+
+    P = ctypes.POINTER(ctypes.c_int32)
+    dc_arr = (P * ncomp)(*[_i32p(a) for a in dc_luts])
+    ac_arr = (P * ncomp)(*[_i32p(a) for a in ac_luts])
+    out_arr = (P * ncomp)(*[_i32p(a) for a in outs])
+
+    data = np.frombuffer(pj.data, dtype=np.uint8)[pj.entropy_start :]
+    data = np.ascontiguousarray(data)
+    zz = np.ascontiguousarray(T.ZIGZAG, dtype=np.int32)
+
+    rc = lib.jz_entropy_decode(
+        _u8p(data), len(data), dc_arr, ac_arr, _i32p(zz),
+        ncomp, _i32p(comp_h), _i32p(comp_v),
+        n_mcus, pj.restart_interval,
+        out_arr,
+    )
+    if rc != n_mcus:
+        raise RuntimeError(f"native entropy decode failed: rc={rc}")
+    return outs

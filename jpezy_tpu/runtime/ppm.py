@@ -29,10 +29,19 @@ def parse_p3(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if not body.lstrip().startswith(b"P3"):
         raise PpmFormatError("not a P3 PPM")
     body = body.lstrip()[2:]
+    vals = None
     try:
-        vals = np.fromstring(body, dtype=np.int64, sep=" ")  # noqa: NPY201
-    except Exception:
-        vals = np.array([int(t) for t in body.split()], dtype=np.int64)
+        from . import native
+
+        vals = native.scan_ints(body, len(body) // 2 + 4).astype(np.int64)
+    except ImportError:
+        pass
+    if vals is None:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            vals = np.fromstring(body, dtype=np.int64, sep=" ")  # noqa: NPY201
     if len(vals) < 3:
         raise PpmFormatError("truncated PPM header")
     w, h, maxval = int(vals[0]), int(vals[1]), int(vals[2])
@@ -93,8 +102,13 @@ def serialize_p3(rgb: np.ndarray, *, comment: str | None = "Decoded by jpezy") -
     if comment:
         header += f"# {comment}\n"
     header += f"{w} {h}\n255\n"
+    try:
+        from . import native
+
+        return header.encode() + native.serialize_p3_pixels(rgb)
+    except ImportError:
+        pass
     flat = rgb.reshape(-1, 3)
-    # vectorized int->text: np.savetxt-style but faster via char assembly
     body = "\n".join(" ".join(map(str, px)) for px in flat.tolist())
     return header.encode() + body.encode() + b"\n"
 
