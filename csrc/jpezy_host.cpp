@@ -224,7 +224,7 @@ int64_t jz_entropy_decode(
     const int32_t* comp_v,
     int64_t n_mcus,
     int restart_interval,
-    int32_t* const* out_coeffs       // [ncomp] -> int32[nblocks*64]
+    int16_t* const* out_coeffs       // [ncomp] -> int16[nblocks*64]
 ) {
     BitReader br;
     br.init(data, nbytes);
@@ -243,7 +243,7 @@ int64_t jz_entropy_decode(
             const int32_t* alut = ac_luts[c];
             int nb = comp_h[c] * comp_v[c];
             for (int k = 0; k < nb; ++k) {
-                int32_t* blk = out_coeffs[c] + blk_count[c] * 64;
+                int16_t* blk = out_coeffs[c] + blk_count[c] * 64;
                 blk_count[c] += 1;
                 // DC
                 br.fill();
@@ -258,7 +258,7 @@ int64_t jz_entropy_decode(
                     dc = v;
                 }
                 pred[c] += dc;
-                blk[0] = (int32_t)pred[c];
+                blk[0] = (int16_t)pred[c];
                 // AC
                 int kk = 1;
                 while (kk < 64) {
@@ -276,7 +276,7 @@ int64_t jz_entropy_decode(
                     if (kk > 63) return -5;
                     int32_t v = br.read_bits(s);
                     if (!(v & (1 << (s - 1)))) v -= (1 << s) - 1;
-                    blk[zigzag[kk]] = v;
+                    blk[zigzag[kk]] = (int16_t)v;
                     ++kk;
                 }
             }

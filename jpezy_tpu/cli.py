@@ -1,0 +1,168 @@
+"""Command-line front-end mirroring the reference binaries' UX.
+
+Usage (reference: src/encoder/main.cpp:6, src/decoder/main.cpp:12):
+  jpezy encode <input.ppm> ( <output.(jpeg|jpg)> [--gray] | <output.ppm> | --debug )
+  jpezy decode <input.(jpg|jpeg)> <output.ppm> [--gray] [-v]
+
+Also exposed as python -m jpezy_tpu.cli.  Behavior kept from the reference:
+  - the ASCII logo banner (src/jpezy.hpp:20-29)
+  - section timers printing "Done! Processing time: X(sec)"
+    (raii_messenger, src/jpezy.hpp:388-432)
+  - encode to .ppm re-emits the parsed PPM; --debug dumps it to stdout
+    (src/encoder/main.cpp:38-45)
+  - decode -v prints verbose marker/geometry info (decoder<Debug> analog)
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .utils.timing import SectionTimer, disp_logo
+
+
+def _encode_usage() -> int:
+    print(
+        "Usage: jpezy encode <input.ppm> "
+        "( <output.(jpeg | jpg) [OPT: --gray]> | <output.ppm> | --debug )",
+        file=sys.stderr,
+    )
+    return 1
+
+
+def _decode_usage() -> int:
+    print(
+        "Usage: jpezy decode <input.(jpg | jpeg)> "
+        "( <output.ppm> | [OPT: --gray]) [-v]",
+        file=sys.stderr,
+    )
+    return 1
+
+
+def cmd_encode(argv: list[str]) -> int:
+    if len(argv) < 2:
+        return _encode_usage()
+    inp, outp = argv[0], argv[1]
+    gray = "--gray" in argv[2:]
+
+    from .runtime import ppm
+
+    disp_logo()
+    timer = SectionTimer("Reading the input file...")
+    try:
+        w, h, maxv, rgb = ppm.read(inp)
+    except (OSError, ppm.PpmFormatError):
+        print("The file is not found or the formatting error", file=sys.stderr)
+        return _encode_usage()
+    print(f"width: {w} height: {h}")
+    t1 = timer.stop()
+
+    if outp == "--debug":
+        sys.stdout.write(ppm.serialize_p3(rgb, comment=None).decode())
+        return 0
+    if outp.endswith(".ppm"):
+        ppm.write(outp, rgb, fmt="P3")
+        return 0
+    if not (".jpg" in outp or ".jpeg" in outp):
+        return _encode_usage()
+
+    timer.restart("Start encoding and writing ...")
+    from .codec import jax_codec
+
+    data = jax_codec.encode(
+        rgb[..., 0], rgb[..., 1], rgb[..., 2], gray=gray
+    )
+    with open(outp, "wb") as f:
+        f.write(data)
+    unit = "srook::byte" if gray else "byte"  # reference quirk kept
+    print(f"Output size: {len(data)} {unit}")
+    t2 = timer.stop()
+    print(f"Total processing time: {t1 + t2}")
+    return 0
+
+
+def cmd_decode(argv: list[str]) -> int:
+    if len(argv) < 2:
+        return _decode_usage()
+    inp, outp = argv[0], argv[1]
+    rest = argv[2:]
+    gray = "--gray" in rest
+    verbose = "-v" in rest
+    if not ((".jpg" in inp or ".jpeg" in inp) and ".ppm" in outp):
+        return _decode_usage()
+
+    from .codec import jax_codec
+    from .bitstream.reader import JpegFormatError, parse
+    from .runtime import ppm
+
+    disp_logo()
+    timer = SectionTimer("process started...")
+    print()
+    try:
+        with open(inp, "rb") as f:
+            data = f.read()
+        if verbose:
+            _verbose_trace(data)
+        r, g, b, pr = jax_codec.decode(data, gray=gray)
+    except (OSError, JpegFormatError, ValueError, RuntimeError) as e:
+        if verbose:
+            print(f"error: {e}", file=sys.stderr)
+        print("decode failed", file=sys.stderr)
+        return 1
+
+    fmt = {1: "JFIF", 2: "JFXX"}.get(int(pr.format), "undefined")
+    units = {1: "dots inch", 2: "dots cm"}.get(int(pr.units), "undefined")
+    print(
+        f"\tLoaded JPEG: {pr.width}x{pr.height}, presicion {pr.sample_precision}, "
+        f'"{pr.comment}", {fmt} standart {pr.major_rev}.0{pr.minor_rev}, {units}, '
+        f"frames {pr.dimension}, density {pr.h_density}x{pr.v_density}\n"
+    )
+    ppm.write(outp, np.stack([r, g, b], axis=-1), fmt="P3")
+    timer.stop()
+    print(
+        f"Decoded image: Netpbm image data, size = {pr.width} x {pr.height}, "
+        "pixmap, ASCII text"
+    )
+    return 0
+
+
+def _verbose_trace(data: bytes) -> None:
+    """-v marker trace (decoder<Debug> analog, jpezy_decoder.hpp:360-484)."""
+    from .core.tables import Marker
+
+    names = {m.value: m.name for m in Marker}
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] not in (0x00, 0xFF):
+            code = data[i + 1]
+            name = names.get(code, f"0x{code:02x}")
+            print(f"\t\tfound marker: [{name}]")
+            if code == Marker.SOS:
+                break
+            if 0xD0 <= code <= 0xD9 or code == 0x01:
+                i += 2
+                continue
+            if i + 3 < n:
+                i += 2 + ((data[i + 2] << 8) | data[i + 3])
+                continue
+        i += 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("Usage: jpezy (encode | decode) ...", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "encode":
+        return cmd_encode(rest)
+    if cmd == "decode":
+        return cmd_decode(rest)
+    # allow jpezy_encode / jpezy_decode style single-purpose invocation
+    print("Usage: jpezy (encode | decode) ...", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

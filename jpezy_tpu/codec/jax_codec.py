@@ -48,6 +48,12 @@ def _dtype(precision: str):
 # ---------------------------------------------------------------------------
 
 
+def stream_budget_words(nblocks: int) -> int:
+    """Device-splice output budget: ~2 bits/pixel equivalent, fast-transfer
+    sized.  Overflow falls back to the per-block words path."""
+    return max(4096, nblocks * 4)
+
+
 @functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded"))
 def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
                      precision: str = "fast", rounded: bool = False):
@@ -73,23 +79,49 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     cbq = Q.quantize(D.forward_dct(cbb, dt), chroma=True, rounded=rounded)
     crq = Q.quantize(D.forward_dct(crb, dt), chroma=True, rounded=rounded)
 
-    streams = []
-    for q, chroma in ((yq, False), (cbq, True), (crq, True)):
-        hi, lo, n = E.block_emissions(q, E.dc_predictors(q[:, 0]), chroma)
-        streams.append(E.pack_block_words(hi, lo, n))
+    ems = [
+        E.block_emissions(q, E.dc_predictors(q[:, 0]), chroma)
+        for q, chroma in ((yq, False), (cbq, True), (crq, True))
+    ]
+    nm = cbq.shape[0]
+    # interleave emissions to MCU order (Y0..Y3, Cb, Cr), then pack ONCE
+    hi, lo, n = (
+        jnp.concatenate(
+            [ems[0][j].reshape(nm, 4, 64), ems[1][j].reshape(nm, 1, 64),
+             ems[2][j].reshape(nm, 1, 64)], axis=1
+        ).reshape(nm * 6, 64)
+        for j in range(3)
+    )
+    return E.pack_block_words(hi, lo, n)
 
-    (yw, ybits), (cbw, cbbits), (crw, crbits) = streams
-    nm = cbw.shape[0]
-    W = E.WORDS_PER_BLOCK
-    words = jnp.concatenate(
-        [yw.reshape(nm, 4, W), cbw.reshape(nm, 1, W), crw.reshape(nm, 1, W)],
-        axis=1,
-    ).reshape(nm * 6, W)
-    bits = jnp.concatenate(
-        [ybits.reshape(nm, 4), cbbits.reshape(nm, 1), crbits.reshape(nm, 1)],
-        axis=1,
-    ).reshape(nm * 6)
-    return words, bits
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded"))
+def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
+                     precision: str = "fast", rounded: bool = False):
+    """Like encode_to_blocks but splices the stream ON DEVICE.
+
+    Returns (combined [1 + maxw] uint32, words, bits): combined[0] is the
+    total bit count, combined[1:] the packed stream.  A single array fetch
+    retrieves everything on the fast path (each device->host fetch costs a
+    full ~40ms round trip through the TPU tunnel); `words`/`bits` are fetched
+    only if the budget overflowed.
+    """
+    words, bits = encode_to_blocks(
+        r, g, b, ph=ph, pw=pw, gray=gray, precision=precision, rounded=rounded
+    )
+    maxw = stream_budget_words(words.shape[0])
+    stream, total = E.concat_device(words, bits, maxw)
+    combined = jnp.concatenate([total[None].astype(jnp.uint32), stream])
+    return combined, words, bits
+
+
+def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
+    nbytes = (total + 7) // 8
+    raw = bytearray(stream.astype(">u4").tobytes()[:nbytes])
+    pad = (-total) % 8
+    if pad:
+        raw[-1] |= (1 << pad) - 1  # T.81 F.1.2.3 one-padding
+    return bytes(raw)
 
 
 def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
@@ -100,12 +132,17 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     if props is None:
         props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
-    words, bits = encode_to_blocks(
+    combined, words, bits = encode_to_stream(
         jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
         ph=geo.padded_height, pw=geo.padded_width, gray=gray,
         precision=precision, rounded=rounded,
     )
-    packed, _ = splice_blocks(np.asarray(words), np.asarray(bits))
+    combined = np.asarray(combined)  # ONE fetch: [total_bits, stream...]
+    total = int(combined[0])
+    if total <= 32 * (combined.shape[0] - 1):
+        packed = _stream_to_bytes(combined[1:], total)
+    else:  # budget overflow: fall back to per-block words + host splice
+        packed, _ = splice_blocks(np.asarray(words), np.asarray(bits))
     header = writer.write_header(props)
     return writer.assemble(header, packed)
 
@@ -114,8 +151,14 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
 def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast", rounded=False):
     from ..parallel.sharded import _encode_local
 
-    return _encode_local(r, g, b, gray=gray, dtype=_dtype(precision),
-                         rounded=rounded, tile_axis=None)
+    words, bits = _encode_local(r, g, b, gray=gray, dtype=_dtype(precision),
+                                rounded=rounded, tile_axis=None)
+    maxw = stream_budget_words(words.shape[1])
+    streams, totals = E.concat_device_batch(words, bits, maxw)
+    combined = jnp.concatenate(
+        [totals[:, None].astype(jnp.uint32), streams], axis=1
+    )
+    return combined, words, bits
 
 
 def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
@@ -128,17 +171,21 @@ def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
     n, h, w = rgbs.shape[:3]
     if h % 16 or w % 16:
         raise ValueError("encode_batch needs multiple-of-16 dims")
-    words, bits = _encode_batch_blocks(
+    combined, words, bits = _encode_batch_blocks(
         jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
         jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
         rounded=rounded,
     )
-    words = np.asarray(words)
-    bits = np.asarray(bits)
+    combined = np.asarray(combined)  # ONE fetch for the whole batch
+    maxw = combined.shape[1] - 1
     header = writer.write_header(make_encode_props(w, h, gray=gray))
     out = []
     for i in range(n):
-        packed, _ = splice_blocks(words[i], bits[i])
+        total = int(combined[i, 0])
+        if total <= 32 * maxw:
+            packed = _stream_to_bytes(combined[i, 1:], total)
+        else:  # overflow: host splice for this image only
+            packed, _ = splice_blocks(np.asarray(words[i]), np.asarray(bits[i]))
         out.append(writer.assemble(header, packed))
     return out
 
@@ -160,6 +207,34 @@ def decode_component_plane(coeff_blocks, qtable, *, mcus_y, mcus_x, v, h,
     spat = D.inverse_dct(deq, level, dt)
     plane = B.deblockify(spat, mcus_y, mcus_x, v, h)
     return B.upsample_nearest(plane, dup_y, dup_x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "level", "gray", "precision"),
+)
+def _decode_fused(comp_blocks, qtables, *, geom, level, gray, precision):
+    """One jitted program for the whole device decode backend.
+
+    comp_blocks: tuple of [B_i, 64] coefficient arrays (one per component);
+    qtables: tuple of [64] quant tables; geom: tuple of
+    (mcus_y, mcus_x, v, h, dup_y, dup_x) per component.
+    Returns interleaved uint8 [H_mcu, W_mcu, 3] (or [H, W, 1] luma for
+    1-component/gray) so the host needs exactly ONE fetch.
+    """
+    dt = _dtype(precision)
+    planes = []
+    for cb, qt, (mcus_y, mcus_x, v, h, dup_y, dup_x) in zip(
+        comp_blocks, qtables, geom
+    ):
+        deq = Q.dequantize(cb, qt)
+        spat = D.inverse_dct(deq, level, dt)
+        plane = B.deblockify(spat, mcus_y, mcus_x, v, h)
+        planes.append(B.upsample_nearest(plane, dup_y, dup_x))
+    if gray or len(planes) == 1:
+        return C.clamp_gray(planes[0], dt)[..., None]
+    r, g, b = C.ycc_to_rgb(planes[0], planes[1], planes[2], dt)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -215,6 +290,74 @@ def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
     return [np.stack(o) for o in out]
 
 
+@functools.partial(jax.jit, static_argnames=("geom", "level", "gray", "precision"))
+def _decode_fused_batch(comp_blocks, qtables, *, geom, level, gray, precision):
+    """Batched _decode_fused: comp_blocks are [N, B_i, 64] per component."""
+    dt = _dtype(precision)
+    planes = []
+    for cb, qt, (mcus_y, mcus_x, v, h, dup_y, dup_x) in zip(
+        comp_blocks, qtables, geom
+    ):
+        N, Bn, _ = cb.shape
+        deq = Q.dequantize(cb.reshape(-1, 64), qt)
+        spat = D.inverse_dct(deq, level, dt).reshape(N, Bn, 64)
+        b6 = spat.reshape(N, mcus_y, mcus_x, v, h, 8, 8)
+        plane = b6.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            N, mcus_y * v * 8, mcus_x * h * 8
+        )
+        if dup_y > 1 or dup_x > 1:
+            plane = jnp.repeat(jnp.repeat(plane, dup_y, axis=1), dup_x, axis=2)
+        planes.append(plane)
+    if gray or len(planes) == 1:
+        return C.clamp_gray(planes[0], dt)[..., None]
+    r, g, b = C.ycc_to_rgb(planes[0], planes[1], planes[2], dt)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def decode_batch(streams: list[bytes], *, gray: bool = False,
+                 precision: str = "fast") -> tuple[np.ndarray, ImageProps]:
+    """Decode a batch of same-geometry JPEGs -> ([N, H, W, 3] uint8, props).
+
+    All streams must share dimensions/sampling/tables geometry (e.g. the
+    output of encode_batch); raises ValueError otherwise.
+    """
+    pjs = [parse(s) for s in streams]
+    p0 = pjs[0]
+    for pj in pjs[1:]:
+        if (pj.props.width, pj.props.height) != (p0.props.width, p0.props.height) \
+           or len(pj.frame_components) != len(p0.frame_components):
+            raise ValueError("decode_batch needs uniform stream geometry")
+    hmax, vmax = p0.hmax, p0.vmax
+    geos = [
+        ComponentGeometry(fc.H, fc.V, hmax, vmax, p0.props.width, p0.props.height)
+        for fc in p0.frame_components
+    ]
+    mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
+    level = 128 if p0.props.sample_precision == 8 else 2048
+    ncomp = len(p0.frame_components)
+
+    per_image = [decode_entropy_host(pj) for pj in pjs]
+    comp_blocks = tuple(
+        jnp.asarray(np.stack([pi[c] for pi in per_image]))
+        for c in range(ncomp)
+    )
+    geom = tuple(
+        (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(p0.frame_components)
+    )
+    out = _decode_fused_batch(
+        comp_blocks,
+        tuple(jnp.asarray(p0.quant[fc.Tq]) for fc in p0.frame_components),
+        geom=geom, level=level, gray=gray or ncomp == 1, precision=precision,
+    )
+    out = np.asarray(out)  # ONE fetch for the whole batch
+    H, W = p0.props.height, p0.props.width
+    out = out[:, :H, :W]
+    if out.shape[-1] == 1:
+        out = np.repeat(out, 3, axis=-1)
+    return out, p0.props
+
+
 def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
     """Decode baseline JPEG bytes -> (r, g, b [H, W] uint8, ImageProps)."""
     pj = parse(data)
@@ -228,24 +371,20 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
     level = 128 if props.sample_precision == 8 else 2048
 
     comp_blocks = decode_entropy_host(pj)
-    planes = []
-    for i, fc in enumerate(pj.frame_components):
-        plane = decode_component_plane(
-            jnp.asarray(comp_blocks[i]),
-            jnp.asarray(pj.quant[fc.Tq]),
-            mcus_y=mcus_y, mcus_x=mcus_x, v=fc.V, h=fc.H,
-            dup_y=geos[i].dup_y, dup_x=geos[i].dup_x,
-            level=level, precision=precision,
-        )
-        planes.append(plane)
-
-    H, W = props.height, props.width
     ncomp = len(pj.frame_components)
-    y = planes[0][:H, :W]
-    if gray or ncomp == 1:
-        gv = np.asarray(plane_to_gray(y, precision=precision))
+    geom = tuple(
+        (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(pj.frame_components)
+    )
+    out = _decode_fused(
+        tuple(jnp.asarray(cb) for cb in comp_blocks),
+        tuple(jnp.asarray(pj.quant[fc.Tq]) for fc in pj.frame_components),
+        geom=geom, level=level, gray=gray or ncomp == 1, precision=precision,
+    )
+    out = np.asarray(out)  # ONE fetch
+    H, W = props.height, props.width
+    out = out[:H, :W]
+    if out.shape[-1] == 1:
+        gv = out[..., 0]
         return gv, gv.copy(), gv.copy(), props
-    cb = planes[1][:H, :W]
-    cr = planes[2][:H, :W]
-    r, g, b = planes_to_rgb(y, cb, cr, precision=precision)
-    return np.asarray(r), np.asarray(g), np.asarray(b), props
+    return out[..., 0], out[..., 1], out[..., 2], props

@@ -150,6 +150,72 @@ def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(x, axis=1)
 
 
+def concat_device(words, bits, maxw: int):
+    """Concatenate per-block bitstrings into one stream ON DEVICE.
+
+    words: [B, W] uint32 per-block packed words; bits: [B] bit counts.
+    Returns (stream [maxw] uint32 MSB-first, total_bits scalar).
+
+    Each block's words are funnel-shifted by its global bit phase and
+    scatter-added at its word offset (adjacent blocks touch disjoint bits of
+    boundary words, so add == or).  Writes beyond maxw are dropped -- the
+    caller must check total_bits <= 32*maxw and fall back to host splicing
+    on overflow.
+
+    Why on device: only ~stream-size bytes cross the host link instead of
+    the 64x larger padded word buffers.
+    """
+    B, W = words.shape
+    goff = jnp.cumsum(bits) - bits
+    total = goff[-1] + bits[-1]
+    rr = (goff & 31).astype(jnp.uint32)
+    q = goff >> 5
+    ext = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), words], axis=1)
+    sh = jnp.where(rr > 0, rr, 1)[:, None]
+    shifted = jnp.where(
+        rr[:, None] > 0, (ext[:, 1:] >> sh) | (ext[:, :-1] << (32 - sh)),
+        ext[:, 1:],
+    )
+    carry = jnp.where(
+        rr > 0, words[:, -1] << (32 - jnp.where(rr > 0, rr, 1)), 0
+    ).astype(jnp.uint32)[:, None]
+    contrib = jnp.concatenate([shifted, carry], axis=1)       # [B, W+1]
+    idx = q[:, None] + jnp.arange(W + 1, dtype=q.dtype)[None, :]
+    stream = jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
+        contrib.reshape(-1), mode="drop"
+    )
+    return stream, total
+
+
+def concat_device_batch(words, bits, maxw: int):
+    """Batched concat_device: [N, B, W] + [N, B] -> ([N, maxw], [N]).
+
+    One global scatter over a flattened [N*maxw] buffer (no vmap)."""
+    N, B, W = words.shape
+    goff = jnp.cumsum(bits, axis=1) - bits
+    total = goff[:, -1] + bits[:, -1]
+    rr = (goff & 31).astype(jnp.uint32)
+    q = goff >> 5
+    ext = jnp.concatenate([jnp.zeros((N, B, 1), jnp.uint32), words], axis=2)
+    sh = jnp.where(rr > 0, rr, 1)[..., None]
+    shifted = jnp.where(
+        rr[..., None] > 0, (ext[..., 1:] >> sh) | (ext[..., :-1] << (32 - sh)),
+        ext[..., 1:],
+    )
+    carry = jnp.where(
+        rr > 0, words[..., -1] << (32 - jnp.where(rr > 0, rr, 1)), 0
+    ).astype(jnp.uint32)[..., None]
+    contrib = jnp.concatenate([shifted, carry], axis=2)       # [N, B, W+1]
+    img = jnp.arange(N, dtype=q.dtype)[:, None, None] * maxw
+    woff = q[..., None] + jnp.arange(W + 1, dtype=q.dtype)[None, None, :]
+    # spills past an image's budget go out of range -> dropped by mode="drop"
+    idx = jnp.where(woff < maxw, img + woff, N * maxw)
+    stream = jnp.zeros((N * maxw,), jnp.uint32).at[idx.reshape(-1)].add(
+        contrib.reshape(-1), mode="drop"
+    )
+    return stream.reshape(N, maxw), total
+
+
 def _shr64_low32(hi, lo, d):
     """low 32 bits of (hi:lo) >> d, d in [0, 63]; 0 for d >= 64."""
     low = _shr32(lo, d) | _shl32(hi, 32 - d)     # valid when d < 32
@@ -178,12 +244,15 @@ def _window_words(hi, lo, nbits, off):
     return w0, wwords
 
 
-def pack_block_words(hi, lo, nbits):
+def pack_block_words(hi, lo, nbits, use_pallas: bool | None = None):
     """Pack merged emissions into per-block 32-bit words.
 
     hi, lo: [B, 64] uint32 emission values (MSB-justified in (hi:lo) low bits),
     nbits: [B, 64] int32 emission lengths (<= 59).
     Returns (words [B, WORDS_PER_BLOCK] uint32 MSB-first, bits_per_block [B]).
+
+    On TPU backends the accumulation runs as a single Pallas kernel
+    (ops/pack_pallas.py); elsewhere a fori_loop masked-OR fallback.
 
     Scatter-free: each emission is aligned into a 96-bit window (3 words)
     starting at its word offset; a fori_loop over the 64 emission slots
@@ -196,6 +265,14 @@ def pack_block_words(hi, lo, nbits):
     off = jnp.cumsum(nbits, axis=1) - nbits          # exclusive
     total = off[:, -1] + nbits[:, -1]
     w0, wwords = _window_words(hi, lo, nbits, off)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pack_pallas import pack_words_pallas
+
+        return pack_words_pallas(w0, wwords[0], wwords[1], wwords[2]), total
+
     wstack = jnp.stack(wwords)                       # [3, B, E]
 
     warange = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]  # [1, W]

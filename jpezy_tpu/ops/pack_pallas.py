@@ -1,0 +1,73 @@
+"""Pallas TPU kernel: per-block entropy bit packing.
+
+The scatter-free masked-OR accumulation (see ops/entropy.py) needs its whole
+64-emission x 64-word working set resident on-chip; as plain XLA it either
+becomes a 64-step sequential loop (kernel-launch bound) or a materialized
+unrolled chain (HBM bound).  As a single Pallas kernel the accumulator stays
+in VMEM and the masked ORs run back to back on the VPU.
+
+Layout: arrays are transposed to [emission/word, block] so the per-iteration
+dynamic slice runs along the sublane dimension (supported/fast on TPU) and
+blocks ride the 128-wide lane dimension.  Grid over tiles of blocks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORDS_PER_BLOCK = 64
+EMISSIONS = 64
+TILE_B = 512  # blocks per grid step (lane dim, 4x128)
+
+
+def _pack_kernel(w0_ref, ww0_ref, ww1_ref, ww2_ref, out_ref):
+    tb = out_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (WORDS_PER_BLOCK, tb), 0)
+
+    def body(e, acc):
+        w0e = w0_ref[pl.ds(e, 1), :]                    # [1, TILE_B]
+        target = jnp.broadcast_to(w0e, iota.shape)
+        v0 = jnp.broadcast_to(ww0_ref[pl.ds(e, 1), :], iota.shape)
+        v1 = jnp.broadcast_to(ww1_ref[pl.ds(e, 1), :], iota.shape)
+        v2 = jnp.broadcast_to(ww2_ref[pl.ds(e, 1), :], iota.shape)
+        acc = acc | jnp.where(iota == target, v0, jnp.uint32(0))
+        acc = acc | jnp.where(iota == target + 1, v1, jnp.uint32(0))
+        acc = acc | jnp.where(iota == target + 2, v2, jnp.uint32(0))
+        return acc
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, EMISSIONS, body,
+        jnp.zeros((WORDS_PER_BLOCK, tb), jnp.uint32),
+    )
+
+
+@jax.jit
+def pack_words_pallas(w0, ww0, ww1, ww2):
+    """[B, 64] window-aligned emissions -> [B, 64] packed words (uint32).
+
+    w0: start word index per emission; ww0..ww2: the three window words.
+    """
+    B = w0.shape[0]
+    pad = (-B) % TILE_B
+    args = []
+    for a in (w0, ww0, ww1, ww2):
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        args.append(a.T)                                 # [64, Bp]
+    bp = B + pad
+
+    spec = pl.BlockSpec((EMISSIONS, TILE_B), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _pack_kernel,
+        out_shape=jax.ShapeDtypeStruct((WORDS_PER_BLOCK, bp), jnp.uint32),
+        grid=(bp // TILE_B,),
+        in_specs=[spec] * 4,
+        out_specs=pl.BlockSpec((WORDS_PER_BLOCK, TILE_B), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(*args)
+    return out.T[:B]

@@ -47,7 +47,7 @@ def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str |
         cbb = jnp.zeros_like(cbb)
         crb = jnp.zeros_like(crb)
 
-    streams = []
+    ems = []
     for blk, chroma in ((yb, False), (cbb, True), (crb, True)):
         n_loc, b_loc, _ = blk.shape
         q = Q.quantize(
@@ -63,25 +63,28 @@ def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str |
         else:
             prev = jnp.zeros_like(dc[:, -1])
         pred = jnp.concatenate([prev[:, None], dc[:, :-1]], axis=1)
-        hi, lo, nb = jax.vmap(E.block_emissions, in_axes=(0, 0, None))(
-            q, pred, chroma
+        # flatten images into the block axis: emissions are block-local
+        # (the DC chain is already captured in `pred`), and vmap would
+        # serialize the Pallas pack kernel
+        hi, lo, nb = E.block_emissions(
+            q.reshape(-1, 64), pred.reshape(-1), chroma
         )
-        words, bits = jax.vmap(E.pack_block_words)(hi, lo, nb)
-        streams.append((words, bits))
+        ems.append(tuple(x.reshape(n_loc, b_loc, 64) for x in (hi, lo, nb)))
 
-    (yw, ybits), (cbw, cbbits), (crw, crbits) = streams
-    n_loc = cbw.shape[0]
-    nm = cbw.shape[1]
-    W = E.WORDS_PER_BLOCK
-    words = jnp.concatenate(
-        [yw.reshape(n_loc, nm, 4, W), cbw.reshape(n_loc, nm, 1, W),
-         crw.reshape(n_loc, nm, 1, W)], axis=2
-    ).reshape(n_loc, nm * 6, W)
-    bits = jnp.concatenate(
-        [ybits.reshape(n_loc, nm, 4), cbbits.reshape(n_loc, nm, 1),
-         crbits.reshape(n_loc, nm, 1)], axis=2
-    ).reshape(n_loc, nm * 6)
-    return words, bits
+    n_loc = ems[1][0].shape[0]
+    nm = ems[1][0].shape[1]
+    # interleave emissions to MCU order (Y0..Y3, Cb, Cr), then pack once
+    hi, lo, nb = (
+        jnp.concatenate(
+            [ems[0][j].reshape(n_loc, nm, 4, 64),
+             ems[1][j].reshape(n_loc, nm, 1, 64),
+             ems[2][j].reshape(n_loc, nm, 1, 64)], axis=2
+        ).reshape(n_loc * nm * 6, 64)
+        for j in range(3)
+    )
+    words, bits = E.pack_block_words(hi, lo, nb)
+    W = words.shape[-1]
+    return words.reshape(n_loc, nm * 6, W), bits.reshape(n_loc, nm * 6)
 
 
 def make_sharded_encode(mesh: Mesh, *, gray: bool = False,

@@ -63,12 +63,13 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_splice_bits.restype = ctypes.c_long
         lib.jz_splice_bits.argtypes = [c_u32p, c_i32p, ctypes.c_long, ctypes.c_int, c_u8p]
         lib.jz_entropy_decode.restype = ctypes.c_int64
+        c_i16p = ctypes.POINTER(ctypes.c_int16)
         lib.jz_entropy_decode.argtypes = [
             c_u8p, ctypes.c_long,
             ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
             c_i32p, ctypes.c_int, c_i32p, c_i32p,
             ctypes.c_int64, ctypes.c_int,
-            ctypes.POINTER(c_i32p),
+            ctypes.POINTER(c_i16p),
         ]
         _lib = lib
         return _lib
@@ -148,14 +149,17 @@ def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:
     comp_h = np.array([fc.H for fc in pj.frame_components], dtype=np.int32)
     comp_v = np.array([fc.V for fc in pj.frame_components], dtype=np.int32)
     outs = [
-        np.zeros((n_mcus * int(comp_h[i] * comp_v[i]), 64), dtype=np.int32)
+        np.zeros((n_mcus * int(comp_h[i] * comp_v[i]), 64), dtype=np.int16)
         for i in range(ncomp)
     ]
 
     P = ctypes.POINTER(ctypes.c_int32)
+    P16 = ctypes.POINTER(ctypes.c_int16)
     dc_arr = (P * ncomp)(*[_i32p(a) for a in dc_luts])
     ac_arr = (P * ncomp)(*[_i32p(a) for a in ac_luts])
-    out_arr = (P * ncomp)(*[_i32p(a) for a in outs])
+    out_arr = (P16 * ncomp)(
+        *[a.ctypes.data_as(P16) for a in outs]
+    )
 
     data = np.frombuffer(pj.data, dtype=np.uint8)[pj.entropy_start :]
     data = np.ascontiguousarray(data)

@@ -1,0 +1,102 @@
+"""CLI front-end tests (subprocess, CPU platform)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from jpezy_tpu.cli import main; import sys; sys.exit(main(sys.argv[1:]))",
+         *args],
+        capture_output=True, text=True, cwd=cwd, timeout=180, env=env,
+    )
+
+
+@pytest.fixture()
+def ppm_file(tmp_path, small_rgb):
+    from jpezy_tpu.runtime import ppm
+
+    p = tmp_path / "in.ppm"
+    ppm.write(str(p), small_rgb, fmt="P3")
+    return str(p)
+
+
+class TestEncodeCli:
+    def test_encode_jpeg(self, ppm_file, tmp_path):
+        out = str(tmp_path / "out.jpg")
+        res = run_cli(["encode", ppm_file, out], tmp_path)
+        assert res.returncode == 0, res.stderr
+        assert "width: 48 height: 64" in res.stdout
+        assert "Output size:" in res.stdout
+        assert "Total processing time:" in res.stdout
+        data = open(out, "rb").read()
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+
+    def test_encode_gray(self, ppm_file, tmp_path):
+        out = str(tmp_path / "out.jpg")
+        res = run_cli(["encode", ppm_file, out, "--gray"], tmp_path)
+        assert res.returncode == 0, res.stderr
+        assert "srook::byte" in res.stdout  # reference gray quirk
+
+    def test_encode_ppm_passthrough(self, ppm_file, tmp_path):
+        out = str(tmp_path / "copy.ppm")
+        res = run_cli(["encode", ppm_file, out], tmp_path)
+        assert res.returncode == 0, res.stderr
+        from jpezy_tpu.runtime import ppm
+
+        w, h, _, rgb = ppm.read(out)
+        assert (w, h) == (48, 64)
+
+    def test_missing_file(self, tmp_path):
+        res = run_cli(["encode", "nope.ppm", "out.jpg"], tmp_path)
+        assert res.returncode != 0
+        assert "not found or the formatting error" in res.stderr
+
+    def test_usage(self, tmp_path):
+        res = run_cli(["encode"], tmp_path)
+        assert res.returncode != 0
+        assert "Usage:" in res.stderr
+
+
+class TestDecodeCli:
+    def test_roundtrip(self, ppm_file, tmp_path, small_rgb):
+        jpg = str(tmp_path / "out.jpg")
+        res = run_cli(["encode", ppm_file, jpg], tmp_path)
+        assert res.returncode == 0, res.stderr
+        out = str(tmp_path / "dec.ppm")
+        res = run_cli(["decode", jpg, out], tmp_path)
+        assert res.returncode == 0, res.stderr
+        assert "Loaded JPEG: 48x64" in res.stdout
+        assert "Encoded by jpezy" in res.stdout
+        assert "Decoded image: Netpbm image data" in res.stdout
+        from jpezy_tpu.runtime import ppm
+
+        w, h, _, rgb = ppm.read(out)
+        assert (w, h) == (48, 64)
+        err = np.abs(rgb.astype(int) - small_rgb.astype(int)).mean()
+        assert err < 15
+
+    def test_verbose_markers(self, ppm_file, tmp_path):
+        jpg = str(tmp_path / "out.jpg")
+        run_cli(["encode", ppm_file, jpg], tmp_path)
+        res = run_cli(["decode", jpg, str(tmp_path / "d.ppm"), "-v"], tmp_path)
+        assert res.returncode == 0, res.stderr
+        for m in ("APP0", "DQT", "DHT", "SOF0", "SOS"):
+            assert f"found marker: [{m}]" in res.stdout
+
+    def test_decode_garbage(self, tmp_path):
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\x00" * 100)
+        res = run_cli(["decode", str(bad), str(tmp_path / "o.ppm")], tmp_path)
+        assert res.returncode != 0
+        assert "decode failed" in res.stderr
