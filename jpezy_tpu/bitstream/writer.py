@@ -30,8 +30,12 @@ def _marker(m: int) -> bytes:
     return bytes([0xFF, m])
 
 
-def write_header(pr: ImageProps) -> bytes:
-    """Serialize SOI..SOS headers for the fixed 4:2:0 Annex-K encoder."""
+def write_header(pr: ImageProps, restart_interval: int = 0) -> bytes:
+    """Serialize SOI..SOS headers for the fixed 4:2:0 Annex-K encoder.
+
+    restart_interval > 0 inserts a DRI segment before SOS (extension; the
+    reference never emits one, README.md:33).
+    """
     out = bytearray()
     # SOI (jpezy_writer.hpp:26)
     out += _marker(T.Marker.SOI)
@@ -78,6 +82,11 @@ def write_header(pr: ImageProps) -> bytes:
     for i in range(1, dim):
         out += bytes([i, 0x11, 1])
 
+    if restart_interval:
+        out += _marker(T.Marker.DRI)
+        out += _word(4)
+        out += _word(restart_interval)
+
     # SOS (jpezy_writer.hpp:84-93)
     out += _marker(T.Marker.SOS)
     out += _word(2 * dim + 6)
@@ -90,6 +99,11 @@ def write_header(pr: ImageProps) -> bytes:
 
 
 EOI = _marker(T.Marker.EOI)
+
+
+def dri_segment(restart_interval: int) -> bytes:
+    """DRI marker segment (T.81 B.2.4.4)."""
+    return _marker(T.Marker.DRI) + _word(4) + _word(restart_interval)
 
 
 def pack_bits(

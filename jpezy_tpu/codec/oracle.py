@@ -248,6 +248,21 @@ def interleave_mcu(yv: np.ndarray, cbv: np.ndarray, crv: np.ndarray) -> np.ndarr
 # --------------------------------------------------------------------------
 
 
+def segmented_dc_predictors(dc: np.ndarray, blocks_per_mcu: int,
+                            restart_interval: int) -> np.ndarray:
+    """Per-block DC predictor with resets at restart boundaries.
+
+    The predictor chain restarts (to 0) at every restart_interval MCUs
+    (T.81 F.2.1.3.1; reference decode analog jpezy_decoder.hpp:152-163).
+    restart_interval == 0 means one unbroken chain.
+    """
+    pred = dc_predictors(dc)
+    if restart_interval:
+        seg = blocks_per_mcu * restart_interval
+        pred[0::seg] = 0
+    return pred
+
+
 def encode(
     r: np.ndarray,
     g: np.ndarray,
@@ -255,8 +270,14 @@ def encode(
     props: ImageProps | None = None,
     *,
     gray: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode RGB planes [H, W] uint8 -> baseline JFIF bytes (4:2:0, Annex K)."""
+    """Encode RGB planes [H, W] uint8 -> baseline JFIF bytes (4:2:0, Annex K).
+
+    restart_interval > 0 is an extension beyond the reference (its encoder
+    never emits DRI/RSTn, README.md:33): emits a DRI segment and RSTn markers
+    every `restart_interval` MCUs, enabling parallel entropy decode.
+    """
     h, w = r.shape
     if props is None:
         props = make_encode_props(w, h, gray=gray)
@@ -282,15 +303,32 @@ def encode(
     cbq = quantize(forward_dct(cbb), chroma=True)
     crq = quantize(forward_dct(crb), chroma=True)
 
-    y_codes, y_lens = encode_block_emissions(yq, dc_predictors(yq[:, 0]), False)
-    cb_codes, cb_lens = encode_block_emissions(cbq, dc_predictors(cbq[:, 0]), True)
-    cr_codes, cr_lens = encode_block_emissions(crq, dc_predictors(crq[:, 0]), True)
+    ri = restart_interval
+    y_codes, y_lens = encode_block_emissions(
+        yq, segmented_dc_predictors(yq[:, 0], 4, ri), False)
+    cb_codes, cb_lens = encode_block_emissions(
+        cbq, segmented_dc_predictors(cbq[:, 0], 1, ri), True)
+    cr_codes, cr_lens = encode_block_emissions(
+        crq, segmented_dc_predictors(crq[:, 0], 1, ri), True)
 
-    codes = interleave_mcu(y_codes, cb_codes, cr_codes).reshape(-1)
-    lens = interleave_mcu(y_lens, cb_lens, cr_lens).reshape(-1)
+    codes = interleave_mcu(y_codes, cb_codes, cr_codes)  # [nmcu*6, S]
+    lens = interleave_mcu(y_lens, cb_lens, cr_lens)
 
-    header = writer.write_header(props)
-    packed, _ = writer.pack_bits(codes, lens)
+    header = writer.write_header(props, restart_interval=ri)
+    if ri:
+        n_mcus = geo.num_mcus
+        entropy = bytearray()
+        seg_blocks = 6 * ri
+        nseg = (n_mcus + ri - 1) // ri
+        for s in range(nseg):
+            sl = slice(s * seg_blocks, (s + 1) * seg_blocks)
+            packed, _ = writer.pack_bits(
+                codes[sl].reshape(-1), lens[sl].reshape(-1))
+            entropy += writer.byte_stuff(packed)
+            if s != nseg - 1:
+                entropy += bytes([0xFF, 0xD0 + (s % 8)])  # RSTn
+        return header + bytes(entropy) + writer.EOI
+    packed, _ = writer.pack_bits(codes.reshape(-1), lens.reshape(-1))
     return writer.assemble(header, packed)
 
 
