@@ -1,0 +1,74 @@
+"""Mixed-size batched encoding (BASELINE config 3) + uniform batch APIs."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagegen import make_test_image
+from jpezy_tpu.codec import jax_codec
+from jpezy_tpu.runtime.batch import encode_mixed
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+class TestUniformBatch:
+    def test_batch_matches_single(self, small_rgb):
+        batch = np.stack([small_rgb, small_rgb[::-1].copy()])
+        streams = jax_codec.encode_batch(batch)
+        for i in range(2):
+            single = jax_codec.encode(
+                batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2]
+            )
+            assert streams[i] == single
+
+    def test_decode_batch_roundtrip(self, small_rgb):
+        batch = np.stack([small_rgb, 255 - small_rgb])
+        streams = jax_codec.encode_batch(batch)
+        out, props = jax_codec.decode_batch(streams)
+        assert out.shape == batch.shape
+        assert psnr(out[0], batch[0]) > 23.0
+        assert psnr(out[1], batch[1]) > 23.0
+
+    def test_decode_batch_matches_single_decode(self, small_rgb):
+        batch = np.stack([small_rgb] * 3)
+        streams = jax_codec.encode_batch(batch)
+        out, _ = jax_codec.decode_batch(streams)
+        r, g, b, _ = jax_codec.decode(streams[0])
+        assert np.array_equal(out[0], np.stack([r, g, b], -1))
+
+
+class TestMixedBatch:
+    def test_mixed_sizes_all_decode(self):
+        sizes = [(64, 48), (64, 48), (41, 67), (128, 128), (50, 60), (64, 48)]
+        images = [make_test_image(h, w, seed=i) for i, (h, w) in enumerate(sizes)]
+        streams = encode_mixed(images)
+        assert len(streams) == len(images)
+        for im, s in zip(images, streams):
+            out = np.asarray(Image.open(io.BytesIO(s)).convert("RGB"))
+            assert out.shape == im.shape
+            assert psnr(out, im) > 20.0
+
+    def test_same_grid_batching_matches_single(self):
+        """Images sharing a padded MCU grid but different true dims must
+        round-trip with correct dims."""
+        a = make_test_image(60, 44, seed=1)   # pads to 64x48
+        b = make_test_image(64, 48, seed=2)
+        c = make_test_image(49, 33, seed=3)   # pads to 64x48
+        streams = encode_mixed([a, b, c])
+        for im, s in zip([a, b, c], streams):
+            out = np.asarray(Image.open(io.BytesIO(s)).convert("RGB"))
+            assert out.shape == im.shape
+
+    def test_mixed_matches_individual_encode(self):
+        """Bucketed encoding must produce the same bytes as per-image
+        encode (same padded grid -> same MCU data, same header)."""
+        a = make_test_image(60, 44, seed=1)
+        b = make_test_image(57, 47, seed=2)
+        streams = encode_mixed([a, b])
+        for im, s in zip([a, b], streams):
+            single = jax_codec.encode(im[..., 0], im[..., 1], im[..., 2])
+            assert s == single
