@@ -19,8 +19,40 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
+
+// forward declaration (defined below)
+int64_t jz_entropy_decode(
+    const uint8_t* data, long nbytes,
+    const int32_t* const* dc_luts, const int32_t* const* ac_luts,
+    const int32_t* zigzag, int ncomp,
+    const int32_t* comp_h, const int32_t* comp_v,
+    int64_t n_mcus, int restart_interval,
+    int16_t* const* out_coeffs);
+
+// ---------------------------------------------------------------------------
+// Find restart-marker byte offsets (positions AFTER each FF D0-D7 pair).
+// In stuffed entropy data 0xFF is always followed by 0x00 except at markers,
+// so a flat scan is unambiguous.  Returns count written (up to cap).
+// ---------------------------------------------------------------------------
+long jz_find_restarts(const uint8_t* d, long n, int64_t* out, long cap) {
+    long cnt = 0;
+    for (long i = 0; i + 1 < n && cnt < cap; ++i) {
+        if (d[i] == 0xFF) {
+            uint8_t b = d[i + 1];
+            if (b >= 0xD0 && b <= 0xD7) {
+                out[cnt++] = i + 2;
+                ++i;
+            } else if (b != 0x00) {
+                break;  // real marker terminates entropy data
+            }
+        }
+    }
+    return cnt;
+}
 
 // ---------------------------------------------------------------------------
 // ASCII integer scanning (PPM P3 parse).  Returns count of ints written.
@@ -284,6 +316,75 @@ int64_t jz_entropy_decode(
         since_restart += 1;
     }
     return n_mcus;
+}
+
+// ---------------------------------------------------------------------------
+// Thread-parallel entropy decode over restart segments.
+//
+// Restart markers reset the DC predictors and byte-align the stream
+// (T.81 F.2.1.3.1; reference jpezy_decoder.hpp:152-163), so each segment is
+// independently decodable -- the in-format analog of checkpointed resume.
+// seg_offsets[s] = byte offset of segment s's entropy data (segment 0 at 0);
+// segment s covers MCUs [s*ri, min((s+1)*ri, n_mcus)).
+// ---------------------------------------------------------------------------
+int64_t jz_entropy_decode_mt(
+    const uint8_t* data, long nbytes,
+    const int64_t* seg_offsets, long nseg,
+    const int32_t* const* dc_luts, const int32_t* const* ac_luts,
+    const int32_t* zigzag, int ncomp,
+    const int32_t* comp_h, const int32_t* comp_v,
+    int64_t n_mcus, int restart_interval,
+    int16_t* const* out_coeffs, int nthreads
+) {
+    if (nseg <= 1 || restart_interval <= 0) {
+        return jz_entropy_decode(data, nbytes, dc_luts, ac_luts, zigzag,
+                                 ncomp, comp_h, comp_v, n_mcus,
+                                 restart_interval, out_coeffs);
+    }
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    std::vector<int64_t> results(nseg, 0);
+
+    auto work = [&](long s0, long s1) {
+        for (long s = s0; s < s1; ++s) {
+            int64_t mcu0 = (int64_t)s * restart_interval;
+            int64_t mcu1 = mcu0 + restart_interval;
+            if (mcu1 > n_mcus) mcu1 = n_mcus;
+            if (mcu0 >= mcu1) { results[s] = 0; continue; }
+            // per-segment output base pointers
+            int16_t* bases[4];
+            for (int c = 0; c < ncomp; ++c) {
+                int64_t blocks_before = mcu0 * comp_h[c] * comp_v[c];
+                bases[c] = out_coeffs[c] + blocks_before * 64;
+            }
+            long off = seg_offsets[s];
+            results[s] = jz_entropy_decode(
+                data + off, nbytes - off, dc_luts, ac_luts, zigzag,
+                ncomp, comp_h, comp_v, mcu1 - mcu0, /*ri=*/0, bases);
+        }
+    };
+
+    long per = (nseg + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long s0 = (long)t * per;
+        long s1 = s0 + per < nseg ? s0 + per : nseg;
+        if (s0 >= s1) break;
+        threads.emplace_back(work, s0, s1);
+    }
+    for (auto& th : threads) th.join();
+
+    int64_t total = 0;
+    for (long s = 0; s < nseg; ++s) {
+        int64_t expect = restart_interval;
+        if ((int64_t)(s + 1) * restart_interval > n_mcus)
+            expect = n_mcus - (int64_t)s * restart_interval;
+        if (results[s] != expect) return -(100 + s);
+        total += results[s];
+    }
+    return total;
 }
 
 }  // extern "C"

@@ -64,12 +64,23 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_splice_bits.argtypes = [c_u32p, c_i32p, ctypes.c_long, ctypes.c_int, c_u8p]
         lib.jz_entropy_decode.restype = ctypes.c_int64
         c_i16p = ctypes.POINTER(ctypes.c_int16)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
         lib.jz_entropy_decode.argtypes = [
             c_u8p, ctypes.c_long,
             ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
             c_i32p, ctypes.c_int, c_i32p, c_i32p,
             ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(c_i16p),
+        ]
+        lib.jz_find_restarts.restype = ctypes.c_long
+        lib.jz_find_restarts.argtypes = [c_u8p, ctypes.c_long, c_i64p, ctypes.c_long]
+        lib.jz_entropy_decode_mt.restype = ctypes.c_int64
+        lib.jz_entropy_decode_mt.argtypes = [
+            c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
+            ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
+            c_i32p, ctypes.c_int, c_i32p, c_i32p,
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(c_i16p), ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -165,12 +176,34 @@ def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:
     data = np.ascontiguousarray(data)
     zz = np.ascontiguousarray(T.ZIGZAG, dtype=np.int32)
 
-    rc = lib.jz_entropy_decode(
-        _u8p(data), len(data), dc_arr, ac_arr, _i32p(zz),
-        ncomp, _i32p(comp_h), _i32p(comp_v),
-        n_mcus, pj.restart_interval,
-        out_arr,
-    )
+    ri = pj.restart_interval
+    if ri > 0:
+        # thread-parallel decode over restart segments
+        max_seg = n_mcus // ri + 2
+        marks = np.zeros(max_seg, dtype=np.int64)
+        nmarks = lib.jz_find_restarts(
+            _u8p(data), len(data),
+            marks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_seg,
+        )
+        seg_offsets = np.zeros(nmarks + 1, dtype=np.int64)
+        seg_offsets[1:] = marks[:nmarks]
+        rc = lib.jz_entropy_decode_mt(
+            _u8p(data), len(data),
+            seg_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seg_offsets),
+            dc_arr, ac_arr, _i32p(zz),
+            ncomp, _i32p(comp_h), _i32p(comp_v),
+            n_mcus, ri, out_arr,
+            # thread-spawn overhead ~ a few hundred us: only fan out wide
+            # when there is real work
+            0 if n_mcus >= 8192 else (4 if n_mcus >= 2048 else 1),
+        )
+    else:
+        rc = lib.jz_entropy_decode(
+            _u8p(data), len(data), dc_arr, ac_arr, _i32p(zz),
+            ncomp, _i32p(comp_h), _i32p(comp_v),
+            n_mcus, ri, out_arr,
+        )
     if rc != n_mcus:
         raise RuntimeError(f"native entropy decode failed: rc={rc}")
     return outs
