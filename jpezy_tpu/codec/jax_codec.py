@@ -358,9 +358,23 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
     return out, p0.props
 
 
+def _check_decodable(pj: ParsedJpeg) -> None:
+    """The reference's pre-scan gate (jpezy_decoder.hpp:89): Huffman tables,
+    quant tables and a scan header must all have been seen."""
+    from ..core.props import Analyzed
+
+    need = Analyzed.HTABLE | Analyzed.QTABLE | Analyzed.START_DATA
+    if (pj.props.decodable & need) != need:
+        missing = [f.name for f in (Analyzed.HTABLE, Analyzed.QTABLE,
+                                    Analyzed.START_DATA)
+                   if not (pj.props.decodable & f)]
+        raise ValueError(f"stream not decodable: missing {missing}")
+
+
 def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
     """Decode baseline JPEG bytes -> (r, g, b [H, W] uint8, ImageProps)."""
     pj = parse(data)
+    _check_decodable(pj)
     props = pj.props
     hmax, vmax = pj.hmax, pj.vmax
     geos = [
