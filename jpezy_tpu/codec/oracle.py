@@ -119,16 +119,46 @@ def blockify_chroma(c: np.ndarray) -> np.ndarray:
     return b.reshape(my * mx, 64)
 
 
+def _fwd_term_tables():
+    """Per-term basis factors for the ordered-sum forward DCT.
+
+    Term k (= y*8+x in the reference's loop order) of output (i, j):
+      T_k = (pic[y,x] * COS[j,x]) * COS[i,y]    (jpezy_encoder.hpp:160)
+    c1[k, ij] = COS[j, x_k], c2[k, ij] = COS[i, y_k].
+    """
+    c1 = np.zeros((64, 64), dtype=np.float64)
+    c2 = np.zeros((64, 64), dtype=np.float64)
+    for k in range(64):
+        y, x = k // 8, k % 8
+        for ij in range(64):
+            i, j = ij // 8, ij % 8
+            c1[k, ij] = _COS[j, x]
+            c2[k, ij] = _COS[i, y]
+    return c1, c2
+
+
+_FWD_C1, _FWD_C2 = _fwd_term_tables()
+_CU_J = np.where(np.arange(8) == 0, 1.0 / np.sqrt(2.0), 1.0)  # over columns j
+_CV_I = _CU_J  # over rows i
+
+
 def forward_dct(blocks: np.ndarray) -> np.ndarray:
     """[B, 64] int blocks -> [B, 64] int DCT coefficients (natural order).
 
-    DCT_data[u*8+v] = int( (sum_{y,x} pic[y,x] COS[v,x] COS[u,y]) * cu cv / 4 )
-    with u = vertical frequency (row), v = horizontal (column), matching
-    jpezy_encoder.hpp:146-166.
+    DCT_data[i*8+j] = int( sum * cu * cv / 4 ) with the 64 terms accumulated
+    in the reference's exact (y, x) raster order and its exact operation
+    order -- float64 summation-order ties flip ~2% of blocks by +-1 at the
+    (i, j) in {0,4} coefficients (whose basis entries are +-1/8), so loop
+    order is semantic, not cosmetic.  jpezy_encoder.hpp:146-166.
     """
-    x = blocks.reshape(-1, 8, 8).astype(np.float64)
-    d = np.einsum("uy,byx,vx->buv", _COS, x, _COS, optimize=True) * _SCALE[None]
-    return trunc_int(d).reshape(-1, 64)
+    pic = blocks.reshape(-1, 64).astype(np.float64)
+    B = pic.shape[0]
+    s = np.zeros((B, 64), dtype=np.float64)
+    for k in range(64):
+        s += (pic[:, k : k + 1] * _FWD_C1[k][None, :]) * _FWD_C2[k][None, :]
+    s = s.reshape(B, 8, 8)
+    res = ((s * _CU_J[None, None, :]) * _CV_I[None, :, None]) / 4.0
+    return trunc_int(res).reshape(B, 64)
 
 
 def quantize(coeffs: np.ndarray, chroma: bool) -> np.ndarray:
@@ -430,14 +460,47 @@ def decode_segment_blocks(
                 out[sc].append(blk)
 
 
+def _inv_term_tables():
+    """Per-term factors for the ordered-sum IDCT.
+
+    Term k (= v*8+u, the reference's v-outer/u-inner order) of output (y, x):
+      T_k = (((cu*cv) * dct[v,u]) * COS[u,x]) * COS[v,y]
+    (jpezy_decoder.hpp:664).  cucv[k] = fl(cu * cv); c1[k, yx] = COS[u, x];
+    c2[k, yx] = COS[v, y].
+    """
+    disqrt2 = 1.0 / np.sqrt(2.0)
+    cucv = np.zeros(64, dtype=np.float64)
+    c1 = np.zeros((64, 64), dtype=np.float64)
+    c2 = np.zeros((64, 64), dtype=np.float64)
+    for k in range(64):
+        v, u = k // 8, k % 8
+        cu = disqrt2 if u == 0 else 1.0
+        cv = disqrt2 if v == 0 else 1.0
+        cucv[k] = cu * cv
+        for yx in range(64):
+            y, x = yx // 8, yx % 8
+            c1[k, yx] = _COS[u, x]
+            c2[k, yx] = _COS[v, y]
+    return cucv, c1, c2
+
+
+_INV_CUCV, _INV_C1, _INV_C2 = _inv_term_tables()
+
+
 def inverse_dct(coeffs: np.ndarray, level_shift: int = 128) -> np.ndarray:
     """[B, 64] dequantized coefficients -> [B, 64] int spatial samples.
 
-    block[y*8+x] = int(sum/4 + 128) per jpezy_decoder.hpp:652-670.
+    block[y*8+x] = int(sum/4 + sl) with the reference's exact term and
+    accumulation order (v outer, u inner; jpezy_decoder.hpp:652-670) --
+    required for bit-exact decode (see forward_dct note on float64 ties).
     """
-    d = coeffs.reshape(-1, 8, 8).astype(np.float64) * _SCALE[None] * 4.0
-    s = np.einsum("bvu,ux,vy->byx", d, _COS, _COS, optimize=True)
-    return trunc_int(s / 4.0 + level_shift).reshape(-1, 64)
+    d = coeffs.reshape(-1, 64).astype(np.float64)
+    B = d.shape[0]
+    s = np.zeros((B, 64), dtype=np.float64)
+    for k in range(64):
+        s += ((_INV_CUCV[k] * d[:, k : k + 1]) * _INV_C1[k][None, :]) \
+            * _INV_C2[k][None, :]
+    return trunc_int(s / 4.0 + level_shift).reshape(B, 64)
 
 
 def deblockify(blocks: np.ndarray, mcus_y: int, mcus_x: int, v: int, h: int) -> np.ndarray:

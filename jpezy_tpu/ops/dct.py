@@ -44,11 +44,30 @@ def forward_dct(blocks: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """[B, 64] int spatial blocks -> [B, 64] int32 DCT coefficients.
 
     Truncation toward zero matches the reference's `int(sum * cu*cv / 4)`
-    (jpezy_encoder.hpp:163).
+    (jpezy_encoder.hpp:163).  float64 uses the reference's exact term and
+    accumulation order (summation-order ties flip ~2% of blocks by +-1;
+    see codec/oracle.py); float32 uses the MXU matmul form.
     """
+    if dtype == jnp.float64:
+        return _forward_dct_ordered(blocks)
     m = jnp.asarray(_FWD64, dtype=dtype)
     d = jnp.dot(blocks.astype(dtype), m.T, preferred_element_type=dtype)
     return d.astype(jnp.int32)
+
+
+def _forward_dct_ordered(blocks: jnp.ndarray) -> jnp.ndarray:
+    from ..codec import oracle as _o
+
+    pic = blocks.astype(jnp.float64)
+    s = jnp.zeros(pic.shape, jnp.float64)
+    c1 = jnp.asarray(_o._FWD_C1)
+    c2 = jnp.asarray(_o._FWD_C2)
+    for k in range(64):
+        s = s + (pic[:, k : k + 1] * c1[k][None, :]) * c2[k][None, :]
+    s = s.reshape(-1, 8, 8)
+    cu = jnp.asarray(_o._CU_J)
+    res = ((s * cu[None, None, :]) * cu[None, :, None]) / 4.0
+    return res.reshape(-1, 64).astype(jnp.int32)
 
 
 def inverse_dct(coeffs: jnp.ndarray, level_shift: int = 128,
@@ -56,7 +75,23 @@ def inverse_dct(coeffs: jnp.ndarray, level_shift: int = 128,
     """[B, 64] dequantized int coefficients -> [B, 64] int32 spatial samples.
 
     Matches `int(sum/4 + sl)` of jpezy_decoder.hpp:667 (sl = 128 for 8-bit).
+    float64 replicates the reference's accumulation order exactly.
     """
+    if dtype == jnp.float64:
+        return _inverse_dct_ordered(coeffs, level_shift)
     m = jnp.asarray(_INV64, dtype=dtype)
     s = jnp.dot(coeffs.astype(dtype), m.T, preferred_element_type=dtype)
     return (s + jnp.asarray(level_shift, dtype)).astype(jnp.int32)
+
+
+def _inverse_dct_ordered(coeffs: jnp.ndarray, level_shift: int) -> jnp.ndarray:
+    from ..codec import oracle as _o
+
+    d = coeffs.astype(jnp.float64)
+    s = jnp.zeros(d.shape, jnp.float64)
+    cucv = jnp.asarray(_o._INV_CUCV)
+    c1 = jnp.asarray(_o._INV_C1)
+    c2 = jnp.asarray(_o._INV_C2)
+    for k in range(64):
+        s = s + ((cucv[k] * d[:, k : k + 1]) * c1[k][None, :]) * c2[k][None, :]
+    return (s / 4.0 + jnp.float64(level_shift)).astype(jnp.int32)
