@@ -8,35 +8,41 @@ decodes in 0.055 s single-threaded (core time, excluding its 0.522 s PPM
 parse), i.e. a round-trip of 0.097 s -> 2.70 MP/s.  vs_baseline is our
 sustained round-trip MP/s divided by 2.70.
 
-Notes on the measurement environment: the chip is reached through a tunnel
-whose host<->device link costs ~35 ms per fetch and ~25-35 MB/s, so the
-pipeline batches images and does exactly one device fetch per batch per
-direction; on directly-attached hardware the same code is compute-bound.
-Detail timings go to stderr.
+Structure: the parent supervises a child process that runs the measurement
+on the TPU with a hard timeout (the tunneled chip can wedge, see
+docs/PARITY.md environment notes); on failure it reruns on the CPU backend
+and labels the metric accordingly, so the driver always gets a data point.
+
+Environment note: the chip is reached through a tunnel costing ~35-40 ms
+per host<->device round trip at ~25-35 MB/s, so the pipeline batches images
+and makes exactly one device fetch per batch per direction; on
+directly-attached hardware the same code is compute-bound.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 REF_ROUNDTRIP_MPS = (512 * 512 / 1e6) / (0.042 + 0.055)  # 2.70 MP/s
+TPU_TIMEOUT_S = 1500
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    from jpezy_tpu.utils import compile_cache
-
-    compile_cache.enable()
-
+def measure(platform: str) -> dict:
     import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from imagegen import make_test_image
     from jpezy_tpu.codec import jax_codec
@@ -51,7 +57,7 @@ def main():
         for j in range(2)
     ]
 
-    # ---- single image
+    # ---- single image (reference-comparable latency)
     img = batches[0][0]
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
     t0 = time.time()
@@ -62,14 +68,14 @@ def main():
     log(f"first decode (compile): {time.time()-t0:.1f}s")
 
     ts = []
-    for i in range(6):
+    for i in range(5):
         im = batches[0][i % batch_n]
         t0 = time.time()
         jax_codec.encode(im[..., 0], im[..., 1], im[..., 2])
         ts.append(time.time() - t0)
     t_enc1 = min(ts)
     ts = []
-    for _ in range(6):
+    for _ in range(5):
         t0 = time.time()
         jax_codec.decode(data)
         ts.append(time.time() - t0)
@@ -80,9 +86,7 @@ def main():
     # ---- batched pipeline (production path, one fetch per batch)
     streams = jax_codec.encode_batch(batches[0])   # compile
     jax_codec.decode_batch(streams)                # compile
-    t_enc = []
-    t_dec = []
-    all_streams = []
+    t_enc, t_dec = [], []
     for trial in range(4):
         imgs = batches[trial % 2]
         t0 = time.time()
@@ -91,33 +95,60 @@ def main():
         t0 = time.time()
         out, _ = jax_codec.decode_batch(streams)
         t_dec.append(time.time() - t0)
-        all_streams.append(streams)
     t_benc, t_bdec = min(t_enc), min(t_dec)
     log(f"batched encode x{batch_n}: {t_benc*1000:.0f}ms "
         f"({batch_n*mp/t_benc:.1f} MP/s)")
     log(f"batched decode x{batch_n}: {t_bdec*1000:.0f}ms "
         f"({batch_n*mp/t_bdec:.1f} MP/s)")
 
-    total = t_benc + t_bdec
-    value = batch_n * mp / total
+    value = batch_n * mp / (t_benc + t_bdec)
     log(f"round-trip (batched): {value:.2f} MP/s")
 
-    # sanity: quality gate (outputs must be real JPEGs of reference quality)
+    # quality gate: streams must be valid JPEGs of reference quality
     try:
         from PIL import Image
         import io
 
-        pil = np.asarray(Image.open(io.BytesIO(all_streams[0][0])).convert("RGB"))
-        mse = np.mean((pil.astype(float) - batches[0][0].astype(float)) ** 2)
+        pil = np.asarray(Image.open(io.BytesIO(streams[0])).convert("RGB"))
+        mse = np.mean((pil.astype(float) - imgs[0].astype(float)) ** 2)
         log(f"PIL-decoded PSNR vs source: {10*np.log10(255**2/mse):.2f} dB")
     except ImportError:
         pass
 
-    print(json.dumps({
-        "metric": "encode+decode 512x512 round-trip throughput (1 chip, batch 16)",
+    return {
+        "metric": (
+            "encode+decode 512x512 round-trip throughput "
+            f"(batch {batch_n}, {'1 chip' if platform == 'tpu' else 'CPU FALLBACK - chip unreachable'})"
+        ),
         "value": round(value, 3),
         "unit": "MP/s",
         "vs_baseline": round(value / REF_ROUNDTRIP_MPS, 2),
+    }
+
+
+def main():
+    if os.environ.get("JPEZY_BENCH_CHILD"):
+        print(json.dumps(measure(os.environ["JPEZY_BENCH_CHILD"])))
+        return
+
+    here = os.path.abspath(__file__)
+    for platform, timeout in (("tpu", TPU_TIMEOUT_S), ("cpu", 900)):
+        env = dict(os.environ, JPEZY_BENCH_CHILD=platform)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-u", here], env=env, timeout=timeout,
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {platform} child timed out after {timeout}s")
+            continue
+        if res.returncode == 0 and res.stdout.strip():
+            sys.stdout.write(res.stdout.decode().strip().splitlines()[-1] + "\n")
+            return
+        log(f"[bench] {platform} child failed rc={res.returncode}")
+    print(json.dumps({
+        "metric": "encode+decode 512x512 round-trip (chip and CPU runs failed)",
+        "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
     }))
 
 

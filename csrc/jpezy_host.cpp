@@ -411,6 +411,71 @@ int64_t jz_entropy_decode_mt(
 }
 
 // ---------------------------------------------------------------------------
+// Sparsify dense coefficient blocks for compact host->device upload.
+//
+// Per block: a 64-bit nonzero mask (2x uint32, bit j = natural index j) and
+// up to `k` values in index order.  Blocks with more than k nonzeros are
+// listed in an overflow index array (their dense rows are uploaded as-is).
+// Returns the overflow count.
+// ---------------------------------------------------------------------------
+long jz_sparsify(const int16_t* dense, long nblocks, int k,
+                 uint32_t* mask_lo, uint32_t* mask_hi,
+                 int16_t* vals,            // [nblocks, k]
+                 int64_t* overflow_idx, long overflow_cap) {
+    long novf = 0;
+    for (long b = 0; b < nblocks; ++b) {
+        const int16_t* blk = dense + b * 64;
+        uint32_t lo = 0, hi = 0;
+        int cnt = 0;
+        int16_t* v = vals + (long)b * k;
+        for (int j = 0; j < 64; ++j) {
+            if (blk[j] != 0) {
+                if (cnt < k) v[cnt] = blk[j];
+                ++cnt;
+                if (j < 32) lo |= 1u << j; else hi |= 1u << (j - 32);
+            }
+        }
+        mask_lo[b] = lo;
+        mask_hi[b] = hi;
+        if (cnt > k) {
+            if (novf < overflow_cap) overflow_idx[novf] = b;
+            ++novf;
+        }
+    }
+    return novf;
+}
+
+// ---------------------------------------------------------------------------
+// YCC 4:2:0 -> interleaved RGB (the reference's decode tail, in double
+// precision: to_r/to_g/to_b jpezy_decoder.hpp:567-578, revise_value
+// :672-676, nearest-neighbor chroma duplication :519-524).  Used when the
+// device returns native-resolution planes to halve the device->host
+// transfer; bit-identical to the device color path in exact mode.
+// y: [H, W]; cb, cr: [H/2, W/2]; out: [H, W, 3].
+// ---------------------------------------------------------------------------
+void jz_ycc420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
+                      long H, long W, uint8_t* out) {
+    const long cw = (W + 1) / 2;  // chroma plane is ceil(W/2) wide
+    for (long r = 0; r < H; ++r) {
+        const uint8_t* yrow = y + r * W;
+        const uint8_t* cbrow = cb + (r / 2) * cw;
+        const uint8_t* crrow = cr + (r / 2) * cw;
+        uint8_t* o = out + r * W * 3;
+        for (long c = 0; c < W; ++c) {
+            double yy = (double)yrow[c];
+            double u = (double)cbrow[c / 2];
+            double v = (double)crrow[c / 2];
+            double rr = yy + (v - 128.0) * 1.4020;
+            double gg = yy - (u - 128.0) * 0.3441 - (v - 128.0) * 0.7139;
+            double bb = yy + (u - 128.0) * 1.7718;
+            o[3 * c] = rr < 0.0 ? 0 : rr > 255.0 ? 255 : (uint8_t)rr;
+            o[3 * c + 1] = gg < 0.0 ? 0 : gg > 255.0 ? 255 : (uint8_t)gg;
+            o[3 * c + 2] = bb < 0.0 ? 0 : bb > 255.0 ? 255 : (uint8_t)bb;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Speculative-resync parallel Huffman decode (restart-free streams).
 //
 // The TPU-native answer to the reference's strictly-serial bit stream

@@ -290,6 +290,60 @@ def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
     return [np.stack(o) for o in out]
 
 
+def _densify(mask_lo, mask_hi, vals):
+    """Sparse coefficient transport -> dense [B, 64] int32 blocks.
+
+    mask_lo/hi: [B] uint32 nonzero masks (natural index j); vals: [B, K]
+    int16 nonzero values in index order.  Rank-select via exclusive cumsum +
+    a K-way select chain (no gathers)."""
+    jlo = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    blo = (mask_lo[:, None] >> jlo) & jnp.uint32(1)
+    bhi = (mask_hi[:, None] >> jlo) & jnp.uint32(1)
+    bits = jnp.concatenate([blo, bhi], axis=1).astype(jnp.int32)  # [B, 64]
+    rank = jnp.cumsum(bits, axis=1) - bits
+    dense = jnp.zeros(bits.shape, jnp.int32)
+    K = vals.shape[1]
+    v32 = vals.astype(jnp.int32)
+    for k in range(K):
+        dense = dense + jnp.where(
+            (bits == 1) & (rank == k), v32[:, k : k + 1], 0
+        )
+    return dense
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "level"))
+def _decode_fused_batch_ycc420(sparse, ovf, qtables, *, geom, level):
+    """Fast-transport batched decode: sparse coefficients in, packed
+    native-resolution u8 YCC planes out (single fetch; the C++ runtime
+    finishes upsample+color with the reference's double-precision tail).
+
+    sparse: per component (mask_lo [N,B], mask_hi, vals [N,B,K]);
+    ovf: per component (idx [M] int32 flat block index, rows [M, 64] int16).
+    Note: planes are clamped to u8 BEFORE color conversion; the reference
+    clamps after, so IDCT overshoot pixels can differ slightly -- this is
+    the documented fast-transport tradeoff (exact mode uses RGB transport).
+    """
+    outs = []
+    for (ml, mh, vv), (oidx, orows), qt, (mcus_y, mcus_x, v, h, _, _) in zip(
+        sparse, ovf, qtables, geom
+    ):
+        N, Bn = ml.shape
+        dense = _densify(ml.reshape(-1), mh.reshape(-1),
+                         vv.reshape(N * Bn, -1))
+        if orows.shape[0]:
+            dense = dense.at[oidx].set(orows.astype(jnp.int32), mode="drop")
+        deq = Q.dequantize(dense, qt)
+        spat = D.inverse_dct(deq, level, jnp.float32).reshape(N, Bn, 64)
+        b6 = spat.reshape(N, mcus_y, mcus_x, v, h, 8, 8)
+        plane = b6.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            N, mcus_y * v * 8, mcus_x * h * 8
+        )
+        outs.append(
+            jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(N, -1)
+        )
+    return jnp.concatenate(outs, axis=1)  # [N, H*W * 1.5] for 4:2:0
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "level", "gray", "precision"))
 def _decode_fused_batch(comp_blocks, qtables, *, geom, level, gray, precision):
     """Batched _decode_fused: comp_blocks are [N, B_i, 64] per component."""
@@ -315,11 +369,20 @@ def _decode_fused_batch(comp_blocks, qtables, *, geom, level, gray, precision):
 
 
 def decode_batch(streams: list[bytes], *, gray: bool = False,
-                 precision: str = "fast") -> tuple[np.ndarray, ImageProps]:
+                 precision: str = "fast",
+                 transport: str | None = None) -> tuple[np.ndarray, ImageProps]:
     """Decode a batch of same-geometry JPEGs -> ([N, H, W, 3] uint8, props).
 
     All streams must share dimensions/sampling/tables geometry (e.g. the
     output of encode_batch); raises ValueError otherwise.
+
+    transport: "rgb" fetches full interleaved RGB from the device (exactly
+    the reference's semantics); "ycc420" uploads sparse coefficients and
+    fetches native-resolution u8 planes (~3.5x less link traffic), with the
+    final upsample+color done by the C++ runtime -- IDCT overshoot pixels
+    can differ by a few LSB vs the reference because planes clamp before
+    color conversion.  Default: ycc420 for precision='fast' on standard
+    4:2:0 color streams, rgb otherwise.
     """
     pjs = [parse(s) for s in streams]
     p0 = pjs[0]
@@ -335,6 +398,19 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
     level = 128 if p0.props.sample_precision == 8 else 2048
     ncomp = len(p0.frame_components)
+
+    std420 = (
+        ncomp == 3
+        and [(fc.H, fc.V) for fc in p0.frame_components] == [(2, 2), (1, 1), (1, 1)]
+    )
+    if transport is None:
+        transport = "ycc420" if (precision == "fast" and std420 and not gray) \
+            else "rgb"
+    if transport == "ycc420" and std420 and not gray:
+        try:
+            return _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level)
+        except ImportError:
+            pass  # no native runtime: fall through to rgb transport
 
     per_image = [decode_entropy_host(pj) for pj in pjs]
     comp_blocks = tuple(
@@ -369,6 +445,56 @@ def _check_decodable(pj: ParsedJpeg) -> None:
                                     Analyzed.START_DATA)
                    if not (pj.props.decodable & f)]
         raise ValueError(f"stream not decodable: missing {missing}")
+
+
+def _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level):
+    """Sparse-upload / planar-download fast transport (see decode_batch)."""
+    from ..runtime import native
+
+    native.get_lib()  # raise ImportError-family early if unavailable
+    K = 10
+    per_image = [decode_entropy_host(pj) for pj in pjs]
+    N = len(pjs)
+    sparse = []
+    ovf = []
+    for c in range(3):
+        mls, mhs, vvs, oidx_all, orows_all = [], [], [], [], []
+        Bn = per_image[0][c].shape[0]
+        for i, pi in enumerate(per_image):
+            ml, mh, vv, oidx, orows = native.sparsify(pi[c], K)
+            mls.append(ml); mhs.append(mh); vvs.append(vv)
+            oidx_all.append(oidx + i * Bn)
+            orows_all.append(orows)
+        sparse.append((
+            jnp.asarray(np.stack(mls)), jnp.asarray(np.stack(mhs)),
+            jnp.asarray(np.stack(vvs)),
+        ))
+        oi = np.concatenate(oidx_all).astype(np.int32)
+        orw = np.concatenate(orows_all) if oidx_all else np.zeros((0, 64), np.int16)
+        ovf.append((jnp.asarray(oi), jnp.asarray(orw)))
+
+    geom = tuple(
+        (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(p0.frame_components)
+    )
+    packed = _decode_fused_batch_ycc420(
+        tuple(sparse), tuple(ovf),
+        tuple(jnp.asarray(p0.quant[fc.Tq]) for fc in p0.frame_components),
+        geom=geom, level=level,
+    )
+    packed = np.asarray(packed)  # ONE fetch
+    H, W = p0.props.height, p0.props.width
+    Hm, Wm = mcus_y * 16, mcus_x * 16
+    ny = Hm * Wm
+    nc = (Hm // 2) * (Wm // 2)
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    out = np.empty((N, H, W, 3), dtype=np.uint8)
+    for i in range(N):
+        y = packed[i, :ny].reshape(Hm, Wm)[:H, :W]
+        cb = packed[i, ny : ny + nc].reshape(Hm // 2, Wm // 2)[:ch, :cw]
+        cr = packed[i, ny + nc :].reshape(Hm // 2, Wm // 2)[:ch, :cw]
+        out[i] = native.ycc420_to_rgb(y, cb, cr)
+    return out, p0.props
 
 
 def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):

@@ -75,7 +75,17 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_find_restarts.restype = ctypes.c_long
         lib.jz_find_restarts.argtypes = [c_u8p, ctypes.c_long, c_i64p, ctypes.c_long]
         lib.jz_destuff.restype = ctypes.c_long
-        lib.jz_destuff.argtypes = [c_u8p, ctypes.c_long, c_u8p, c_i64p if False else ctypes.POINTER(ctypes.c_long)]
+        lib.jz_destuff.argtypes = [c_u8p, ctypes.c_long, c_u8p, ctypes.POINTER(ctypes.c_long)]
+        lib.jz_sparsify.restype = ctypes.c_long
+        lib.jz_sparsify.argtypes = [
+            c_i16p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            c_i16p, c_i64p, ctypes.c_long,
+        ]
+        lib.jz_ycc420_to_rgb.restype = None
+        lib.jz_ycc420_to_rgb.argtypes = [
+            c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, c_u8p,
+        ]
         lib.jz_decode_speculative.restype = ctypes.c_int64
         lib.jz_decode_speculative.argtypes = [
             c_u8p, ctypes.c_long,
@@ -153,6 +163,54 @@ def _huff_lut(tbl) -> np.ndarray:
         lo = code << (16 - size)
         lut[lo : lo + (1 << (16 - size))] = (int(value) << 8) | size
     return lut
+
+
+def sparsify(dense: np.ndarray, k: int = 10):
+    """[B, 64] int16 blocks -> (mask_lo, mask_hi [B] uint32, vals [B, k]
+    int16, overflow_idx int64, overflow_rows [n, 64] int16).
+
+    Compact host->device coefficient transport (~5x smaller than dense for
+    Annex-K quality streams)."""
+    lib = get_lib()
+    dense = np.ascontiguousarray(dense, dtype=np.int16)
+    B = dense.shape[0]
+    mask_lo = np.empty(B, dtype=np.uint32)
+    mask_hi = np.empty(B, dtype=np.uint32)
+    vals = np.zeros((B, k), dtype=np.int16)
+    cap = max(16, B // 8)
+    ovf = np.zeros(cap, dtype=np.int64)
+    P16 = ctypes.POINTER(ctypes.c_int16)
+    n = lib.jz_sparsify(
+        dense.ctypes.data_as(P16), B, k,
+        mask_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        mask_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(P16),
+        ovf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+    )
+    if n > cap:  # extremely dense content: re-run with a bigger overflow list
+        cap = B
+        ovf = np.zeros(cap, dtype=np.int64)
+        n = lib.jz_sparsify(
+            dense.ctypes.data_as(P16), B, k,
+            mask_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            mask_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            vals.ctypes.data_as(P16),
+            ovf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+    idx = ovf[:n]
+    return mask_lo, mask_hi, vals, idx, dense[idx]
+
+
+def ycc420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Native-resolution planes -> interleaved RGB (reference color tail)."""
+    lib = get_lib()
+    H, W = y.shape
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    cb = np.ascontiguousarray(cb, dtype=np.uint8)
+    cr = np.ascontiguousarray(cr, dtype=np.uint8)
+    out = np.empty((H, W, 3), dtype=np.uint8)
+    lib.jz_ycc420_to_rgb(_u8p(y), _u8p(cb), _u8p(cr), H, W, _u8p(out))
+    return out
 
 
 def decode_speculative(pj, n_mcus: int, *, nchunks: int = 0,

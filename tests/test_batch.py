@@ -72,3 +72,26 @@ class TestMixedBatch:
         for im, s in zip([a, b], streams):
             single = jax_codec.encode(im[..., 0], im[..., 1], im[..., 2])
             assert s == single
+
+
+class TestDecodeTransports:
+    def test_ycc420_close_to_rgb_transport(self, small_rgb):
+        batch = np.stack([small_rgb, 255 - small_rgb])
+        streams = jax_codec.encode_batch(batch)
+        fast, _ = jax_codec.decode_batch(streams, transport="ycc420")
+        ref, _ = jax_codec.decode_batch(streams, transport="rgb")
+        d = np.abs(fast.astype(int) - ref.astype(int))
+        # fast transport clamps planes before color conversion: IDCT
+        # overshoot pixels may differ slightly
+        assert d.max() <= 8
+        assert (d > 1).mean() < 0.01
+
+    def test_exact_precision_uses_rgb(self, small_rgb):
+        """precision='exact' must keep the reference-faithful transport."""
+        batch = np.stack([small_rgb])
+        streams = jax_codec.encode_batch(batch)
+        out, _ = jax_codec.decode_batch(streams, precision="exact")
+        from jpezy_tpu.codec import oracle
+
+        r, g, b, _ = oracle.decode(streams[0])
+        assert np.array_equal(out[0], np.stack([r, g, b], -1))
