@@ -151,8 +151,15 @@ def _verbose_trace(data: bytes) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--cpu" in argv:
+        # force the CPU backend (e.g. when no accelerator is reachable);
+        # must happen before any jax computation
+        argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if not argv:
-        print("Usage: jpezy (encode | decode) ...", file=sys.stderr)
+        print("Usage: jpezy (encode | decode) ... [--cpu]", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "encode":

@@ -27,6 +27,43 @@ def mcu_pad(x: int) -> int:
     return -(-x // 16) * 16
 
 
+def decode_mixed(streams: list[bytes], *, gray: bool = False,
+                 precision: str = "fast") -> list[np.ndarray]:
+    """Decode a list of JPEGs of mixed geometry.
+
+    Streams sharing (dims, component layout) are decoded as device batches;
+    singletons use the single-image pipeline.  Output order matches input.
+    """
+    from ..bitstream.reader import parse
+    from ..codec import jax_codec
+
+    groups: dict[tuple, list[int]] = collections.defaultdict(list)
+    keys = []
+    for i, s in enumerate(streams):
+        pj = parse(s)
+        key = (
+            pj.props.width, pj.props.height,
+            tuple((fc.H, fc.V, fc.Tq) for fc in pj.frame_components),
+        )
+        keys.append(key)
+        groups[key].append(i)
+
+    out: list[np.ndarray | None] = [None] * len(streams)
+    for key, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            r, g, b, _ = jax_codec.decode(streams[i], gray=gray,
+                                          precision=precision)
+            out[i] = np.stack([r, g, b], axis=-1)
+        else:
+            batch, _ = jax_codec.decode_batch(
+                [streams[i] for i in idxs], gray=gray, precision=precision
+            )
+            for j, i in enumerate(idxs):
+                out[i] = batch[j]
+    return out  # type: ignore[return-value]
+
+
 def encode_mixed(images: list[np.ndarray], *, gray: bool = False,
                  precision: str = "fast", rounded: bool = False) -> list[bytes]:
     """Encode a list of [H, W, 3] uint8 images of mixed sizes.

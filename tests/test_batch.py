@@ -95,3 +95,16 @@ class TestDecodeTransports:
 
         r, g, b, _ = oracle.decode(streams[0])
         assert np.array_equal(out[0], np.stack([r, g, b], -1))
+
+
+class TestDecodeMixed:
+    def test_mixed_geometry_groups(self):
+        from jpezy_tpu.runtime.batch import decode_mixed, encode_mixed
+
+        sizes = [(64, 48), (64, 48), (32, 32), (64, 48)]
+        images = [make_test_image(h, w, seed=10 + i) for i, (h, w) in enumerate(sizes)]
+        streams = encode_mixed(images)
+        outs = decode_mixed(streams)
+        for im, o in zip(images, outs):
+            assert o.shape == im.shape
+            assert psnr(o, im) > 20.0
