@@ -50,3 +50,15 @@ class TestDistributedHelpers:
         batch = np.stack([small_rgb[..., 0]] * 2)
         arr = make_global_batch(mesh, batch)
         assert arr.shape == batch.shape
+
+
+class TestDecodeSharded:
+    def test_matches_single_device_decode(self, small_rgb):
+        from jpezy_tpu.parallel.api import decode_sharded
+
+        mesh = make_mesh(data=2, tile=4)
+        batch = np.stack([small_rgb, 255 - small_rgb])
+        streams = jax_codec.encode_batch(batch)
+        out = decode_sharded(mesh, streams)
+        ref, _ = jax_codec.decode_batch(streams, transport="rgb")
+        assert np.array_equal(out, ref)
