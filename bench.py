@@ -128,6 +128,16 @@ def measure(platform: str) -> dict:
 
 def main():
     if os.environ.get("JPEZY_BENCH_CHILD"):
+        # self-limit with a signal so we exit GRACEFULLY (a hard kill of a
+        # TPU client can wedge the remote chip claim for hours)
+        import signal
+
+        def _bail(signum, frame):
+            log("[bench child] alarm fired; exiting gracefully")
+            os._exit(3)
+
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(max(60, TPU_TIMEOUT_S - 120))
         print(json.dumps(measure(os.environ["JPEZY_BENCH_CHILD"])))
         return
 
