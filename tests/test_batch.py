@@ -108,3 +108,21 @@ class TestDecodeMixed:
         for im, o in zip(images, outs):
             assert o.shape == im.shape
             assert psnr(o, im) > 20.0
+
+
+@pytest.mark.slow
+class TestLargeMixedBatch:
+    def test_100_mixed_images(self):
+        """BASELINE config 3 scaled for CI: 100 mixed-size images through
+        the bucketing pipeline; every stream decodes to correct dims."""
+        rng = np.random.default_rng(0)
+        sizes = [(int(rng.integers(17, 97)), int(rng.integers(17, 97)))
+                 for _ in range(100)]
+        images = [make_test_image(h, w, seed=i) for i, (h, w) in enumerate(sizes)]
+        streams = encode_mixed(images)
+        ok = 0
+        for im, s in zip(images, streams):
+            out = np.asarray(Image.open(io.BytesIO(s)).convert("RGB"))
+            assert out.shape == im.shape
+            ok += 1
+        assert ok == 100
