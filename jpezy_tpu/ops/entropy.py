@@ -11,16 +11,16 @@ reformulation (cf. SURVEY.md section 2.7 and the GPU-JPEG literature):
     zero-runs come from a max-scan over marked positions, magnitude
     categories from exact comparison ladders (no transcendentals).
  2. Bit offsets are exclusive cumsums of emission lengths.
- 3. Per-block bit packing is a scatter-free ONE-HOT MATMUL: each emission's
-    <=59 bits are aligned into a 96-bit window of three 32-bit words; the
-    window words are accumulated into the block's word buffer with
-    per-16-bit-half f32 matmuls (f32 holds < 2^24 exactly; disjoint bit
-    patterns never carry).  This keeps the whole entropy stage on the
-    MXU/VPU with static shapes.
-
-Cross-block concatenation (variable global offsets) happens on the host
-(numpy / C++), which is byte-granular splicing -- see
-jpezy_tpu.bitstream.splice.
+ 3. Per-block bit packing is scatter-free: each emission's <=59 bits are
+    aligned into a 96-bit window of three 32-bit words, and windows are
+    OR-accumulated into the block's word buffer under a word-index iota
+    mask (disjoint bit patterns make OR == add) -- as a Pallas kernel on
+    TPU (ops/pack_pallas.py) or a fori_loop fallback elsewhere.
+ 4. Cross-block concatenation ALSO happens on device (concat_device):
+    block words are funnel-shifted by their global bit phase and
+    scatter-added at sorted word offsets, so only ~stream-size bytes cross
+    the host link.  Host-side splicing (bitstream/splice.py, C++) remains
+    for sharded shard-stream assembly and as the overflow fallback.
 """
 from __future__ import annotations
 
@@ -267,7 +267,10 @@ def pack_block_words(hi, lo, nbits, use_pallas: bool | None = None):
     w0, wwords = _window_words(hi, lo, nbits, off)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("JPEZY_NO_PALLAS") != "1")
     if use_pallas:
         from .pack_pallas import pack_words_pallas
 
