@@ -30,11 +30,13 @@ def _marker(m: int) -> bytes:
     return bytes([0xFF, m])
 
 
-def write_header(pr: ImageProps, restart_interval: int = 0) -> bytes:
+def write_header(pr: ImageProps, restart_interval: int = 0,
+                 quant_tables=None) -> bytes:
     """Serialize SOI..SOS headers for the fixed 4:2:0 Annex-K encoder.
 
     restart_interval > 0 inserts a DRI segment before SOS (extension; the
-    reference never emits one, README.md:33).
+    reference never emits one, README.md:33).  quant_tables overrides the
+    (luma, chroma) quantization tables (extension: quality scaling).
     """
     out = bytearray()
     # SOI (jpezy_writer.hpp:26)
@@ -58,7 +60,8 @@ def write_header(pr: ImageProps, restart_interval: int = 0) -> bytes:
         out += com + b"\x00"
 
     # DQT x2, values in zigzag order (jpezy_writer.hpp:47-58)
-    for table_id, qt in ((0, T.Y_QUANT), (1, T.C_QUANT)):
+    yq, cq = quant_tables if quant_tables is not None else (T.Y_QUANT, T.C_QUANT)
+    for table_id, qt in ((0, yq), (1, cq)):
         out += _marker(T.Marker.DQT)
         out += _word(67)
         out += bytes([table_id])

@@ -54,9 +54,10 @@ def stream_budget_words(nblocks: int) -> int:
     return max(4096, nblocks * 4)
 
 
-@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded"))
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded", "quality"))
 def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
-                     precision: str = "fast", rounded: bool = False):
+                     precision: str = "fast", rounded: bool = False,
+                     quality: int | None = None):
     """RGB planes [H, W] uint8 -> per-block entropy words + bit counts.
 
     Returns (words [nmcu*6, 64] uint32, bits [nmcu*6] int32) in MCU emission
@@ -75,9 +76,11 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
         cbb = jnp.zeros_like(cbb)
         crb = jnp.zeros_like(crb)
 
-    yq = Q.quantize(D.forward_dct(yb, dt), chroma=False, rounded=rounded)
-    cbq = Q.quantize(D.forward_dct(cbb, dt), chroma=True, rounded=rounded)
-    crq = Q.quantize(D.forward_dct(crb, dt), chroma=True, rounded=rounded)
+    yqt, cqt = (T.scale_quant_tables(quality) if quality is not None
+                else (T.Y_QUANT, T.C_QUANT))
+    yq = Q.quantize(D.forward_dct(yb, dt), chroma=False, rounded=rounded, qtable=yqt)
+    cbq = Q.quantize(D.forward_dct(cbb, dt), chroma=True, rounded=rounded, qtable=cqt)
+    crq = Q.quantize(D.forward_dct(crb, dt), chroma=True, rounded=rounded, qtable=cqt)
 
     ems = [
         E.block_emissions(q, E.dc_predictors(q[:, 0]), chroma)
@@ -95,9 +98,10 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     return E.pack_block_words(hi, lo, n)
 
 
-@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded"))
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded", "quality"))
 def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
-                     precision: str = "fast", rounded: bool = False):
+                     precision: str = "fast", rounded: bool = False,
+                     quality: int | None = None):
     """Like encode_to_blocks but splices the stream ON DEVICE.
 
     Returns (combined [1 + maxw] uint32, words, bits): combined[0] is the
@@ -107,7 +111,8 @@ def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
     only if the budget overflowed.
     """
     words, bits = encode_to_blocks(
-        r, g, b, ph=ph, pw=pw, gray=gray, precision=precision, rounded=rounded
+        r, g, b, ph=ph, pw=pw, gray=gray, precision=precision,
+        rounded=rounded, quality=quality,
     )
     maxw = stream_budget_words(words.shape[0])
     stream, total = E.concat_device(words, bits, maxw)
@@ -126,8 +131,12 @@ def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
 
 def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
            props: ImageProps | None = None, *, gray: bool = False,
-           precision: str = "fast", rounded: bool = False) -> bytes:
-    """Full encode: RGB planes [H, W] uint8 -> baseline JFIF bytes."""
+           precision: str = "fast", rounded: bool = False,
+           quality: int | None = None) -> bytes:
+    """Full encode: RGB planes [H, W] uint8 -> baseline JFIF bytes.
+
+    quality (extension): libjpeg-style scaling of the Annex K tables;
+    None = the reference's fixed tables."""
     h, w = r.shape
     if props is None:
         props = make_encode_props(w, h, gray=gray)
@@ -135,7 +144,7 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     combined, words, bits = encode_to_stream(
         jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
         ph=geo.padded_height, pw=geo.padded_width, gray=gray,
-        precision=precision, rounded=rounded,
+        precision=precision, rounded=rounded, quality=quality,
     )
     combined = np.asarray(combined)  # ONE fetch: [total_bits, stream...]
     total = int(combined[0])
@@ -143,7 +152,8 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
         packed = _stream_to_bytes(combined[1:], total)
     else:  # budget overflow: fall back to per-block words + host splice
         packed, _ = splice_blocks(np.asarray(words), np.asarray(bits))
-    header = writer.write_header(props)
+    qt = T.scale_quant_tables(quality) if quality is not None else None
+    header = writer.write_header(props, quant_tables=qt)
     return writer.assemble(header, packed)
 
 

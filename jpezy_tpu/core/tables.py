@@ -413,6 +413,22 @@ AC_CHROMA_VALS = bytes(
 )
 
 
+def scale_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-style quality scaling of the Annex K tables (extension; the
+    reference always uses the unscaled tables).
+
+    quality 50 returns the Annex K tables unchanged; 1 = coarsest,
+    100 = finest.  Entries clamp to [1, 255] (8-bit DQT).
+    """
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def s(tbl):
+        out = (tbl.astype(np.int64) * scale + 50) // 100
+        return np.clip(out, 1, 255).astype(np.int32)
+    return s(Y_QUANT), s(C_QUANT)
+
+
 def dht_segment(table_class: int, table_id: int, bits: bytes, vals: bytes) -> bytes:
     """Serialize one DHT segment (marker + length + Tc/Th + BITS + HUFFVAL).
 

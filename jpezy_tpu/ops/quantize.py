@@ -16,8 +16,11 @@ import numpy as np
 from ..core import tables as T
 
 
-def quantize(coeffs: jnp.ndarray, chroma: bool, *, rounded: bool = False) -> jnp.ndarray:
-    q = jnp.asarray(T.C_QUANT if chroma else T.Y_QUANT)[None, :]
+def quantize(coeffs: jnp.ndarray, chroma: bool, *, rounded: bool = False,
+             qtable=None) -> jnp.ndarray:
+    if qtable is None:
+        qtable = T.C_QUANT if chroma else T.Y_QUANT
+    q = jnp.asarray(qtable)[None, :]
     if rounded:
         a = jnp.abs(coeffs)
         return (jnp.sign(coeffs) * ((2 * a + q) // (2 * q))).astype(jnp.int32)

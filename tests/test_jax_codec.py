@@ -157,3 +157,32 @@ class TestDecode:
         data = jax_codec.encode(*split(small_rgb))
         r, g, b, _ = jax_codec.decode(data, gray=True)
         assert np.array_equal(r, g) and np.array_equal(g, b)
+
+
+class TestQualityScaling:
+    def test_quality_tradeoff(self, small_rgb):
+        """Extension: libjpeg-style quality parameter (reference is fixed
+        at the unscaled Annex K tables == quality 50)."""
+        import io
+        from PIL import Image
+
+        lo = jax_codec.encode(*split(small_rgb), quality=20)
+        mid = jax_codec.encode(*split(small_rgb))
+        hi = jax_codec.encode(*split(small_rgb), quality=90)
+        assert len(lo) < len(mid) < len(hi)
+        plo = psnr(np.asarray(Image.open(io.BytesIO(lo)).convert("RGB")), small_rgb)
+        phi = psnr(np.asarray(Image.open(io.BytesIO(hi)).convert("RGB")), small_rgb)
+        assert phi > plo + 3
+
+    def test_quality_50_matches_default(self, small_rgb):
+        assert jax_codec.encode(*split(small_rgb), quality=50) == \
+            jax_codec.encode(*split(small_rgb))
+
+    def test_roundtrip_own_decoder(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb), quality=85)
+        r, g, b, _ = jax_codec.decode(data)
+        assert psnr(np.stack([r, g, b], -1), small_rgb) > 25.0
+
+    def test_invalid_quality(self, small_rgb):
+        with pytest.raises(ValueError):
+            jax_codec.encode(*split(small_rgb), quality=0)
