@@ -100,9 +100,31 @@ def measure(platform: str) -> dict:
         f"({batch_n*mp/t_benc:.1f} MP/s)")
     log(f"batched decode x{batch_n}: {t_bdec*1000:.0f}ms "
         f"({batch_n*mp/t_bdec:.1f} MP/s)")
+    log(f"round-trip (batched, serial): {batch_n*mp/(t_benc+t_bdec):.2f} MP/s")
 
-    value = batch_n * mp / (t_benc + t_bdec)
-    log(f"round-trip (batched): {value:.2f} MP/s")
+    # ---- pipelined steady state (overlap uploads/downloads/compute):
+    # every image is encoded to complete JFIF bytes on host and re-decoded
+    # from those bytes; batches are kept in flight with lookahead=1.
+    from jpezy_tpu.runtime import pipeline
+
+    # The tunnel's bandwidth is shared and bursty (occasional multi-second
+    # stalls), so take the best of several passes, like the min-of-5 above.
+    n_meas = 4
+    for _ in pipeline.roundtrip_batches(iter(batches[:2])):
+        pass                                        # warm the pipeline path
+    value = 0.0
+    for rep in range(3):
+        t0 = time.time()
+        got = 0
+        for streams, pix in pipeline.roundtrip_batches(
+                (batches[i % 2] for i in range(n_meas))):
+            got += len(streams)
+            assert pix.shape[1:] == (h, w, 3)
+        t_pipe = time.time() - t0
+        v = got * mp / t_pipe
+        log(f"round-trip (pipelined x{n_meas} batches, pass {rep}): "
+            f"{t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
+        value = max(value, v)
 
     # quality gate: streams must be valid JPEGs of reference quality
     try:
@@ -118,7 +140,8 @@ def measure(platform: str) -> dict:
     return {
         "metric": (
             "encode+decode 512x512 round-trip throughput "
-            f"(batch {batch_n}, {'1 chip' if platform == 'tpu' else 'CPU FALLBACK - chip unreachable'})"
+            f"(pipelined batches of {batch_n}, "
+            f"{'1 chip' if platform == 'tpu' else 'CPU FALLBACK - chip unreachable'})"
         ),
         "value": round(value, 3),
         "unit": "MP/s",

@@ -171,13 +171,13 @@ def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast", rounded=False
     return combined, words, bits
 
 
-def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
-                 precision: str = "fast", rounded: bool = False) -> list[bytes]:
-    """Encode a uniform batch [N, H, W, 3] uint8 -> list of JFIF streams.
+def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
+                          precision: str = "fast", rounded: bool = False):
+    """Asynchronously dispatch a uniform-batch encode (upload + device work).
 
-    H, W must be multiples of 16 (use encode() per image otherwise; batched
-    mixed sizes go through bucketing in jpezy_tpu.runtime.batch).
-    """
+    Returns an opaque ticket for encode_batch_finish.  JAX dispatch is
+    async, so the upload and the jitted program run in the background while
+    the host moves on (see runtime/pipeline.py)."""
     n, h, w = rgbs.shape[:3]
     if h % 16 or w % 16:
         raise ValueError("encode_batch needs multiple-of-16 dims")
@@ -186,6 +186,12 @@ def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
         jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
         rounded=rounded,
     )
+    return (combined, words, bits, n, h, w, gray)
+
+
+def encode_batch_finish(ticket) -> list[bytes]:
+    """Block on a dispatched batch encode and assemble the JFIF streams."""
+    combined, words, bits, n, h, w, gray = ticket
     combined = np.asarray(combined)  # ONE fetch for the whole batch
     maxw = combined.shape[1] - 1
     header = writer.write_header(make_encode_props(w, h, gray=gray))
@@ -198,6 +204,17 @@ def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
             packed, _ = splice_blocks(np.asarray(words[i]), np.asarray(bits[i]))
         out.append(writer.assemble(header, packed))
     return out
+
+
+def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
+                 precision: str = "fast", rounded: bool = False) -> list[bytes]:
+    """Encode a uniform batch [N, H, W, 3] uint8 -> list of JFIF streams.
+
+    H, W must be multiples of 16 (use encode() per image otherwise; batched
+    mixed sizes go through bucketing in jpezy_tpu.runtime.batch).
+    """
+    return encode_batch_finish(encode_batch_dispatch(
+        rgbs, gray=gray, precision=precision, rounded=rounded))
 
 
 # ---------------------------------------------------------------------------
@@ -378,22 +395,15 @@ def _decode_fused_batch(comp_blocks, qtables, *, geom, level, gray, precision):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def decode_batch(streams: list[bytes], *, gray: bool = False,
-                 precision: str = "fast",
-                 transport: str | None = None) -> tuple[np.ndarray, ImageProps]:
-    """Decode a batch of same-geometry JPEGs -> ([N, H, W, 3] uint8, props).
+def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
+                          precision: str = "fast",
+                          transport: str | None = None):
+    """Host-side decode work + async device dispatch for a uniform batch.
 
-    All streams must share dimensions/sampling/tables geometry (e.g. the
-    output of encode_batch); raises ValueError otherwise.
-
-    transport: "rgb" fetches full interleaved RGB from the device (exactly
-    the reference's semantics); "ycc420" uploads sparse coefficients and
-    fetches native-resolution u8 planes (~3.5x less link traffic), with the
-    final upsample+color done by the C++ runtime -- IDCT overshoot pixels
-    can differ by a few LSB vs the reference because planes clamp before
-    color conversion.  Default: ycc420 for precision='fast' on standard
-    4:2:0 color streams, rgb otherwise.
-    """
+    Runs the marker parse, entropy frontend (host C++/numpy), coefficient
+    upload and the jitted device backend dispatch, returning an opaque
+    ticket for decode_batch_finish.  The device program and the result
+    transfer proceed in the background (see runtime/pipeline.py)."""
     pjs = [parse(s) for s in streams]
     p0 = pjs[0]
     for pj in pjs[1:]:
@@ -418,7 +428,8 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
             else "rgb"
     if transport == "ycc420" and std420 and not gray:
         try:
-            return _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level)
+            return _decode_batch_ycc420_dispatch(
+                pjs, p0, geos, mcus_x, mcus_y, level)
         except ImportError:
             pass  # no native runtime: fall through to rgb transport
 
@@ -436,12 +447,41 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
         tuple(jnp.asarray(p0.quant[fc.Tq]) for fc in p0.frame_components),
         geom=geom, level=level, gray=gray or ncomp == 1, precision=precision,
     )
+    return ("rgb", out, p0.props)
+
+
+def decode_batch_finish(ticket) -> tuple[np.ndarray, ImageProps]:
+    """Block on a dispatched batch decode and return ([N,H,W,3] u8, props)."""
+    kind = ticket[0]
+    if kind == "ycc420":
+        return _decode_batch_ycc420_finish(ticket)
+    _, out, props = ticket
     out = np.asarray(out)  # ONE fetch for the whole batch
-    H, W = p0.props.height, p0.props.width
+    H, W = props.height, props.width
     out = out[:, :H, :W]
     if out.shape[-1] == 1:
         out = np.repeat(out, 3, axis=-1)
-    return out, p0.props
+    return out, props
+
+
+def decode_batch(streams: list[bytes], *, gray: bool = False,
+                 precision: str = "fast",
+                 transport: str | None = None) -> tuple[np.ndarray, ImageProps]:
+    """Decode a batch of same-geometry JPEGs -> ([N, H, W, 3] uint8, props).
+
+    All streams must share dimensions/sampling/tables geometry (e.g. the
+    output of encode_batch); raises ValueError otherwise.
+
+    transport: "rgb" fetches full interleaved RGB from the device (exactly
+    the reference's semantics); "ycc420" uploads sparse coefficients and
+    fetches native-resolution u8 planes (~3.5x less link traffic), with the
+    final upsample+color done by the C++ runtime -- IDCT overshoot pixels
+    can differ by a few LSB vs the reference because planes clamp before
+    color conversion.  Default: ycc420 for precision='fast' on standard
+    4:2:0 color streams, rgb otherwise.
+    """
+    return decode_batch_finish(decode_batch_dispatch(
+        streams, gray=gray, precision=precision, transport=transport))
 
 
 def _check_decodable(pj: ParsedJpeg) -> None:
@@ -457,7 +497,7 @@ def _check_decodable(pj: ParsedJpeg) -> None:
         raise ValueError(f"stream not decodable: missing {missing}")
 
 
-def _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level):
+def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     """Sparse-upload / planar-download fast transport (see decode_batch)."""
     from ..runtime import native
 
@@ -492,8 +532,15 @@ def _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level):
         tuple(jnp.asarray(p0.quant[fc.Tq]) for fc in p0.frame_components),
         geom=geom, level=level,
     )
+    return ("ycc420", packed, p0.props, N, mcus_x, mcus_y)
+
+
+def _decode_batch_ycc420_finish(ticket):
+    from ..runtime import native
+
+    _, packed, props, N, mcus_x, mcus_y = ticket
     packed = np.asarray(packed)  # ONE fetch
-    H, W = p0.props.height, p0.props.width
+    H, W = props.height, props.width
     Hm, Wm = mcus_y * 16, mcus_x * 16
     ny = Hm * Wm
     nc = (Hm // 2) * (Wm // 2)
@@ -504,7 +551,7 @@ def _decode_batch_ycc420(pjs, p0, geos, mcus_x, mcus_y, level):
         cb = packed[i, ny : ny + nc].reshape(Hm // 2, Wm // 2)[:ch, :cw]
         cr = packed[i, ny + nc :].reshape(Hm // 2, Wm // 2)[:ch, :cw]
         out[i] = native.ycc420_to_rgb(y, cb, cr)
-    return out, p0.props
+    return out, props
 
 
 def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
