@@ -16,6 +16,7 @@ ranges of each image over 'tile'.  On a pod slice put 'data' on DCN and
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -34,7 +35,8 @@ from ..ops import entropy as E
 from ..ops import quantize as Q
 
 
-def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str | None):
+def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str | None,
+                  use_pallas: bool | None = None):
     """Encode the local shard: [N_loc, H_loc, W] planes -> (words, bits).
 
     H_loc must be a multiple of 16 (whole MCU rows per shard).
@@ -82,7 +84,7 @@ def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str |
         ).reshape(n_loc * nm * 6, 64)
         for j in range(3)
     )
-    words, bits = E.pack_block_words(hi, lo, nb)
+    words, bits = E.pack_block_words(hi, lo, nb, use_pallas=use_pallas)
     W = words.shape[-1]
     return words.reshape(n_loc, nm * 6, W), bits.reshape(n_loc, nm * 6)
 
@@ -98,15 +100,23 @@ def make_sharded_encode(mesh: Mesh, *, gray: bool = False,
     """
     dtype = jnp.float64 if precision == "exact" else jnp.float32
 
+    # pick the packer for the devices that will actually run the shard_map
+    # (the process default backend may differ from the mesh's platform,
+    # e.g. a CPU validation mesh on a TPU host)
+    mesh_platform = np.asarray(mesh.devices).flat[0].platform
+    use_pallas = (mesh_platform == "tpu"
+                  and os.environ.get("JPEZY_NO_PALLAS") != "1")
     local = functools.partial(
         _encode_local, gray=gray, dtype=dtype, rounded=rounded,
-        tile_axis="tile",
+        tile_axis="tile", use_pallas=use_pallas,
     )
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("data", "tile", None),) * 3,
         out_specs=(P("data", "tile", None), P("data", "tile")),
+        # pallas_call inside shard_map can't infer vma on this jax version
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -142,6 +152,7 @@ def make_sharded_decode_component(mesh: Mesh, *, v: int, h: int, dup_y: int,
         mesh=mesh,
         in_specs=(P("data", "tile", None), P(None)),
         out_specs=P("data", "tile", None),
+        check_vma=False,
     )
     return jax.jit(fn)
 
