@@ -171,21 +171,79 @@ def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast", rounded=False
     return combined, words, bits
 
 
+@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
+def _encode_batch_blocks_ycc(y, cb, cr, *, gray=False, precision="fast",
+                             rounded=False):
+    from ..parallel.sharded import _encode_local_ycc
+
+    words, bits = _encode_local_ycc(
+        y, cb, cr, gray=gray, dtype=_dtype(precision), rounded=rounded,
+        tile_axis=None,
+    )
+    maxw = stream_budget_words(words.shape[1])
+    streams, totals = E.concat_device_batch(words, bits, maxw)
+    combined = jnp.concatenate(
+        [totals[:, None].astype(jnp.uint32), streams], axis=1
+    )
+    return combined, words, bits
+
+
+def host_rgb_to_ycc420(rgbs: np.ndarray):
+    """Host-side RGB -> level-shifted YCC 4:2:0 int8 planes.
+
+    Same float64 expression order / int truncation as ops.colorspace.rgb_to_ycc
+    (= the reference's double math, jpezy_encoder.hpp:245-256), with the 4:2:0
+    top-left decimation (jpezy_encoder.hpp:116-143) applied BEFORE the chroma
+    arithmetic (pointwise, so the order is equivalent and 4x cheaper).
+
+    Returns (y [N,H,W] int8, cb, cr [N,H/2,W/2] int8): 1.5 bytes/pixel on the
+    host->device link vs 3 for RGB.
+    """
+    rf = rgbs[..., 0].astype(np.float64)
+    gf = rgbs[..., 1].astype(np.float64)
+    bf = rgbs[..., 2].astype(np.float64)
+    y = ((0.2990 * rf) + (0.5870 * gf) + (0.1140 * bf) - 128.0).astype(
+        np.int32).astype(np.int8)
+    sub = rgbs[:, 0::2, 0::2, :].astype(np.float64)
+    rs, gs, bs = sub[..., 0], sub[..., 1], sub[..., 2]
+    cb = (-(0.1687 * rs) - (0.3313 * gs) + (0.5000 * bs)).astype(
+        np.int32).astype(np.int8)
+    cr = ((0.5000 * rs) - (0.4187 * gs) - (0.0813 * bs)).astype(
+        np.int32).astype(np.int8)
+    return y, cb, cr
+
+
 def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
-                          precision: str = "fast", rounded: bool = False):
+                          precision: str = "fast", rounded: bool = False,
+                          transport: str | None = None):
     """Asynchronously dispatch a uniform-batch encode (upload + device work).
 
     Returns an opaque ticket for encode_batch_finish.  JAX dispatch is
     async, so the upload and the jitted program run in the background while
-    the host moves on (see runtime/pipeline.py)."""
+    the host moves on (see runtime/pipeline.py).
+
+    transport: "ycc420" converts RGB->YCC 4:2:0 on the host (float64, the
+    reference's exact truncation) and uploads int8 planes -- half the link
+    bytes of "rgb", which uploads raw planes and converts on device.
+    Default ycc420: identical streams in exact mode; in fast mode it is the
+    float64 color conversion (closer to the reference than float32)."""
     n, h, w = rgbs.shape[:3]
     if h % 16 or w % 16:
         raise ValueError("encode_batch needs multiple-of-16 dims")
-    combined, words, bits = _encode_batch_blocks(
-        jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
-        jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
-        rounded=rounded,
-    )
+    if transport is None:
+        transport = "ycc420"
+    if transport == "ycc420":
+        y, cb, cr = host_rgb_to_ycc420(rgbs)
+        combined, words, bits = _encode_batch_blocks_ycc(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            gray=gray, precision=precision, rounded=rounded,
+        )
+    else:
+        combined, words, bits = _encode_batch_blocks(
+            jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
+            jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
+            rounded=rounded,
+        )
     return (combined, words, bits, n, h, w, gray)
 
 
@@ -207,14 +265,17 @@ def encode_batch_finish(ticket) -> list[bytes]:
 
 
 def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
-                 precision: str = "fast", rounded: bool = False) -> list[bytes]:
+                 precision: str = "fast", rounded: bool = False,
+                 transport: str | None = None) -> list[bytes]:
     """Encode a uniform batch [N, H, W, 3] uint8 -> list of JFIF streams.
 
     H, W must be multiples of 16 (use encode() per image otherwise; batched
     mixed sizes go through bucketing in jpezy_tpu.runtime.batch).
+    transport: see encode_batch_dispatch.
     """
     return encode_batch_finish(encode_batch_dispatch(
-        rgbs, gray=gray, precision=precision, rounded=rounded))
+        rgbs, gray=gray, precision=precision, rounded=rounded,
+        transport=transport))
 
 
 # ---------------------------------------------------------------------------

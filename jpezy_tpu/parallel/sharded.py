@@ -42,9 +42,25 @@ def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str |
     H_loc must be a multiple of 16 (whole MCU rows per shard).
     """
     y, cb, cr = C.rgb_to_ycc(r, g, b, dtype)
+    cb = jax.vmap(B.decimate_420)(cb)
+    cr = jax.vmap(B.decimate_420)(cr)
+    return _encode_local_ycc(
+        y, cb, cr, gray=gray, dtype=dtype, rounded=rounded,
+        tile_axis=tile_axis, use_pallas=use_pallas,
+    )
+
+
+def _encode_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
+                      tile_axis: str | None, use_pallas: bool | None = None):
+    """Encode from level-shifted YCC planes (chroma already 4:2:0 decimated).
+
+    y: [N_loc, H_loc, W] int (Y-128); cb/cr: [N_loc, H_loc/2, W/2] int.
+    Entry point for the host-converted int8 upload transport (half the
+    link bytes of RGB; see codec.jax_codec.host_rgb_to_ycc420).
+    """
     yb = jax.vmap(B.blockify_luma)(y)
-    cbb = jax.vmap(lambda p: B.blockify_chroma(B.decimate_420(p)))(cb)
-    crb = jax.vmap(lambda p: B.blockify_chroma(B.decimate_420(p)))(cr)
+    cbb = jax.vmap(B.blockify_chroma)(cb)
+    crb = jax.vmap(B.blockify_chroma)(cr)
     if gray:
         cbb = jnp.zeros_like(cbb)
         crb = jnp.zeros_like(crb)

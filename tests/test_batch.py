@@ -17,8 +17,9 @@ def psnr(a, b):
 
 class TestUniformBatch:
     def test_batch_matches_single(self, small_rgb):
+        # transport="rgb" converts color on device exactly like encode()
         batch = np.stack([small_rgb, small_rgb[::-1].copy()])
-        streams = jax_codec.encode_batch(batch)
+        streams = jax_codec.encode_batch(batch, transport="rgb")
         for i in range(2):
             single = jax_codec.encode(
                 batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2]
@@ -39,6 +40,43 @@ class TestUniformBatch:
         out, _ = jax_codec.decode_batch(streams)
         r, g, b, _ = jax_codec.decode(streams[0])
         assert np.array_equal(out[0], np.stack([r, g, b], -1))
+
+
+class TestYcc420Transport:
+    """Default batch upload path: host float64 RGB->YCC 4:2:0, int8 planes."""
+
+    def test_exact_mode_byte_equal_to_rgb_transport(self, small_rgb):
+        batch = np.stack([small_rgb, 255 - small_rgb])
+        a = jax_codec.encode_batch(batch, precision="exact", transport="ycc420")
+        b = jax_codec.encode_batch(batch, precision="exact", transport="rgb")
+        assert a == b
+
+    def test_host_conversion_matches_device_float64(self, small_rgb):
+        import jax.numpy as jnp
+        from jpezy_tpu.ops import colorspace as C
+        from jpezy_tpu.ops.blocks import decimate_420
+
+        r, g, b = (small_rgb[..., i] for i in range(3))
+        y, cb, cr = C.rgb_to_ycc(jnp.asarray(r), jnp.asarray(g),
+                                 jnp.asarray(b), jnp.float64)
+        hy, hcb, hcr = jax_codec.host_rgb_to_ycc420(small_rgb[None])
+        assert np.array_equal(hy[0], np.asarray(y, dtype=np.int32))
+        assert np.array_equal(hcb[0], np.asarray(decimate_420(cb)))
+        assert np.array_equal(hcr[0], np.asarray(decimate_420(cr)))
+
+    def test_fast_mode_decodes_to_reference_quality(self, small_rgb):
+        batch = np.stack([small_rgb] * 2)
+        streams = jax_codec.encode_batch(batch)  # default = ycc420
+        out, _ = jax_codec.decode_batch(streams)
+        assert psnr(out[0], small_rgb) > 23.0
+        pil = np.asarray(Image.open(io.BytesIO(streams[0])).convert("RGB"))
+        assert psnr(pil, small_rgb) > 23.0
+
+    def test_gray_mode(self, small_rgb):
+        batch = np.stack([small_rgb] * 2)
+        streams = jax_codec.encode_batch(batch, gray=True)
+        r, g, b, _ = jax_codec.decode(streams[0])
+        assert np.array_equal(r, g) and np.array_equal(g, b)
 
 
 class TestMixedBatch:
