@@ -54,14 +54,18 @@ def stream_budget_words(nblocks: int) -> int:
     return max(4096, nblocks * 4)
 
 
-@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded", "quality"))
+@functools.partial(jax.jit, static_argnames=(
+    "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
 def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
                      precision: str = "fast", rounded: bool = False,
-                     quality: int | None = None):
+                     quality: int | None = None, restart_interval: int = 0):
     """RGB planes [H, W] uint8 -> per-block entropy words + bit counts.
 
     Returns (words [nmcu*6, 64] uint32, bits [nmcu*6] int32) in MCU emission
     order Y0 Y1 Y2 Y3 Cb Cr.
+
+    restart_interval > 0 (extension) resets the DC predictor chains every
+    that many MCUs (T.81 F.2.1.3.1) so segments entropy-decode independently.
     """
     dt = _dtype(precision)
     y, cb, cr = C.rgb_to_ycc(r, g, b, dt)
@@ -83,8 +87,9 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     crq = Q.quantize(D.forward_dct(crb, dt), chroma=True, rounded=rounded, qtable=cqt)
 
     ems = [
-        E.block_emissions(q, E.dc_predictors(q[:, 0]), chroma)
-        for q, chroma in ((yq, False), (cbq, True), (crq, True))
+        E.block_emissions(
+            q, E.dc_predictors_restart(q[:, 0], restart_interval * bpm), chroma)
+        for q, chroma, bpm in ((yq, False, 4), (cbq, True, 1), (crq, True, 1))
     ]
     nm = cbq.shape[0]
     # interleave emissions to MCU order (Y0..Y3, Cb, Cr), then pack ONCE
@@ -98,25 +103,35 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     return E.pack_block_words(hi, lo, n)
 
 
-@functools.partial(jax.jit, static_argnames=("ph", "pw", "gray", "precision", "rounded", "quality"))
+@functools.partial(jax.jit, static_argnames=(
+    "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
 def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
                      precision: str = "fast", rounded: bool = False,
-                     quality: int | None = None):
+                     quality: int | None = None, restart_interval: int = 0):
     """Like encode_to_blocks but splices the stream ON DEVICE.
 
-    Returns (combined [1 + maxw] uint32, words, bits): combined[0] is the
-    total bit count, combined[1:] the packed stream.  A single array fetch
-    retrieves everything on the fast path (each device->host fetch costs a
-    full ~40ms round trip through the TPU tunnel); `words`/`bits` are fetched
-    only if the budget overflowed.
+    Returns (combined uint32, words, bits): combined[0] is the total bit
+    count, then (with restart_interval) S per-segment bit counts, then the
+    packed stream.  A single array fetch retrieves everything on the fast
+    path (each device->host fetch costs a full ~40ms round trip through the
+    TPU tunnel); `words`/`bits` are fetched only if the budget overflowed.
+    With restart_interval, each segment starts byte-aligned in the stream
+    (see ops.entropy.concat_device_restart).
     """
     words, bits = encode_to_blocks(
         r, g, b, ph=ph, pw=pw, gray=gray, precision=precision,
-        rounded=rounded, quality=quality,
+        rounded=rounded, quality=quality, restart_interval=restart_interval,
     )
     maxw = stream_budget_words(words.shape[0])
-    stream, total = E.concat_device(words, bits, maxw)
-    combined = jnp.concatenate([total[None].astype(jnp.uint32), stream])
+    if restart_interval:
+        stream, total, seg_bits = E.concat_device_restart(
+            words, bits, maxw, 6 * restart_interval)
+        combined = jnp.concatenate(
+            [total[None].astype(jnp.uint32), seg_bits.astype(jnp.uint32),
+             stream])
+    else:
+        stream, total = E.concat_device(words, bits, maxw)
+        combined = jnp.concatenate([total[None].astype(jnp.uint32), stream])
     return combined, words, bits
 
 
@@ -129,31 +144,77 @@ def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
     return bytes(raw)
 
 
+def _assemble_restart_segments(raw: bytes, seg_bits: np.ndarray) -> bytes:
+    """Join byte-aligned segments with 1-padding, stuffing and RSTn markers.
+
+    raw: device stream bytes where segment s sits at byte offset
+    sum(ceil(seg_bits[:s]/8)) (concat_device_restart layout).  RSTn markers
+    are emitted between segments, indices cycling 0..7 (T.81 E.1.2), and are
+    NOT byte-stuffed (they are markers, not entropy data).
+    """
+    parts = []
+    base = 0
+    S = len(seg_bits)
+    for s in range(S):
+        sb = int(seg_bits[s])
+        nb = (sb + 7) // 8
+        seg = bytearray(raw[base : base + nb])
+        pad = (-sb) % 8
+        if pad:
+            seg[-1] |= (1 << pad) - 1  # T.81 F.1.2.3 one-padding
+        parts.append(writer.byte_stuff(bytes(seg)))
+        if s != S - 1:
+            parts.append(bytes([0xFF, 0xD0 + (s % 8)]))
+        base += nb
+    return b"".join(parts)
+
+
 def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
            props: ImageProps | None = None, *, gray: bool = False,
            precision: str = "fast", rounded: bool = False,
-           quality: int | None = None) -> bytes:
+           quality: int | None = None, restart_interval: int = 0) -> bytes:
     """Full encode: RGB planes [H, W] uint8 -> baseline JFIF bytes.
 
     quality (extension): libjpeg-style scaling of the Annex K tables;
-    None = the reference's fixed tables."""
+    None = the reference's fixed tables.
+    restart_interval (extension): emit DRI + RSTn every that many MCUs
+    (the reference never does, README.md:33) -- enables parallel entropy
+    decode of our own streams (runtime/native.py jz_entropy_decode_mt)."""
     h, w = r.shape
     if props is None:
         props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
+    ri = restart_interval
     combined, words, bits = encode_to_stream(
         jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
         ph=geo.padded_height, pw=geo.padded_width, gray=gray,
         precision=precision, rounded=rounded, quality=quality,
+        restart_interval=ri,
     )
     combined = np.asarray(combined)  # ONE fetch: [total_bits, stream...]
     total = int(combined[0])
+    qt = T.scale_quant_tables(quality) if quality is not None else None
+    header = writer.write_header(props, restart_interval=ri, quant_tables=qt)
+    if ri:
+        S = -(-geo.num_mcus // ri)
+        seg_bits, stream = combined[1 : 1 + S], combined[1 + S :]
+        if total <= 32 * stream.shape[0]:
+            raw = stream.astype(">u4").tobytes()
+        else:  # overflow: host splice (already segment-padded offsets)
+            nw, nb = np.asarray(words), np.asarray(bits)
+            raw_parts = []
+            for s in range(S):
+                sl = slice(s * 6 * ri, (s + 1) * 6 * ri)
+                seg_raw, sb = splice_blocks(nw[sl], nb[sl])
+                # splice 1-pads the tail; _assemble re-ORs the same bits
+                raw_parts.append(seg_raw)
+                assert sb == int(seg_bits[s])
+            raw = b"".join(raw_parts)
+        return header + _assemble_restart_segments(raw, seg_bits) + writer.EOI
     if total <= 32 * (combined.shape[0] - 1):
         packed = _stream_to_bytes(combined[1:], total)
     else:  # budget overflow: fall back to per-block words + host splice
         packed, _ = splice_blocks(np.asarray(words), np.asarray(bits))
-    qt = T.scale_quant_tables(quality) if quality is not None else None
-    header = writer.write_header(props, quant_tables=qt)
     return writer.assemble(header, packed)
 
 

@@ -72,6 +72,20 @@ def dc_predictors(dc: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1,), dc.dtype), dc[:-1]])
 
 
+def dc_predictors_restart(dc: jnp.ndarray, seg_blocks: int) -> jnp.ndarray:
+    """dc_predictors with a reset to 0 at every restart-segment start
+    (T.81 F.2.1.3.1; decode analog jpezy_decoder.hpp:152-163).
+
+    seg_blocks: blocks per restart segment FOR THIS COMPONENT
+    (= restart_interval * blocks_per_mcu); <= 0 means one unbroken chain.
+    """
+    pred = dc_predictors(dc)
+    if seg_blocks <= 0:
+        return pred
+    idx = jnp.arange(dc.shape[0], dtype=jnp.int32)
+    return jnp.where(idx % seg_blocks == 0, jnp.zeros_like(pred), pred)
+
+
 def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool):
     """[B, 64] quantized blocks -> merged emissions (hi, lo, nbits) [B, 64].
 
@@ -165,9 +179,41 @@ def concat_device(words, bits, maxw: int):
     Why on device: only ~stream-size bytes cross the host link instead of
     the 64x larger padded word buffers.
     """
-    B, W = words.shape
     goff = jnp.cumsum(bits) - bits
     total = goff[-1] + bits[-1]
+    return _scatter_stream(words, goff, maxw), total
+
+
+def concat_device_restart(words, bits, maxw: int, seg_blocks: int):
+    """Segmented concat_device for restart-interval encode (extension).
+
+    Every `seg_blocks` consecutive blocks form one restart segment; each
+    segment is placed starting at a byte boundary (T.81 requires RSTn
+    markers byte-aligned, with the previous segment 1-padded to a byte).
+
+    Returns (stream [maxw] uint32, total_padded_bits, seg_bits [S] int32).
+    The stream holds segment s at byte offset sum(ceil(seg_bits[:s]/8));
+    the HOST still must OR 1-padding into each segment's final partial
+    byte, byte-stuff each segment, and join with RSTn markers
+    (jax_codec.encode does this) -- markers themselves must not be stuffed.
+    """
+    B, W = words.shape
+    S = -(-B // seg_blocks)
+    bp = jnp.pad(bits, (0, S * seg_blocks - B))
+    bseg = bp.reshape(S, seg_blocks)
+    seg_bits = bseg.sum(axis=1)
+    seg_span = ((seg_bits + 7) // 8) * 8            # byte-aligned span
+    base = jnp.cumsum(seg_span) - seg_span
+    within = jnp.cumsum(bseg, axis=1) - bseg
+    goff = (base[:, None] + within).reshape(-1)[:B]
+    total = base[-1] + seg_span[-1]
+    return _scatter_stream(words, goff, maxw), total, seg_bits
+
+
+def _scatter_stream(words, goff, maxw: int):
+    """Funnel-shift each block's words to its global bit offset and
+    scatter-add into a [maxw] uint32 stream (see concat_device)."""
+    B, W = words.shape
     rr = (goff & 31).astype(jnp.uint32)
     q = goff >> 5
     ext = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), words], axis=1)
@@ -181,10 +227,9 @@ def concat_device(words, bits, maxw: int):
     ).astype(jnp.uint32)[:, None]
     contrib = jnp.concatenate([shifted, carry], axis=1)       # [B, W+1]
     idx = q[:, None] + jnp.arange(W + 1, dtype=q.dtype)[None, :]
-    stream = jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
+    return jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
         contrib.reshape(-1), mode="drop"
     )
-    return stream, total
 
 
 def concat_device_batch(words, bits, maxw: int):

@@ -52,6 +52,39 @@ class TestRestartEncode:
         r2, g2, b2, _ = jax_codec.decode(oracle.encode(*split(small_rgb)))
         assert np.array_equal(r1, r2)
 
+    @pytest.mark.parametrize("ri", [1, 3, 7, 100])
+    def test_jax_encode_bitexact_vs_oracle(self, small_rgb, ri):
+        """Device restart encode (exact mode) == numpy oracle, byte for byte."""
+        from jpezy_tpu.codec import jax_codec
+
+        ours = jax_codec.encode(*split(small_rgb), precision="exact",
+                                restart_interval=ri)
+        ref = oracle.encode(*split(small_rgb), restart_interval=ri)
+        assert ours == ref
+
+    def test_jax_encode_restart_odd_dims(self, odd_rgb):
+        from jpezy_tpu.codec import jax_codec
+
+        ours = jax_codec.encode(*split(odd_rgb), precision="exact",
+                                restart_interval=2)
+        assert ours == oracle.encode(*split(odd_rgb), restart_interval=2)
+
+    def test_jax_encode_restart_pil_and_own_decode(self, small_rgb):
+        """Fast-path restart stream: valid for PIL and our own decoder,
+        pixel-identical to the restart-free stream."""
+        from jpezy_tpu.codec import jax_codec
+
+        data = jax_codec.encode(*split(small_rgb), restart_interval=2)
+        ref = jax_codec.encode(*split(small_rgb))
+        out = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        exp = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+        assert np.array_equal(out, exp)
+        r1, g1, b1, _ = jax_codec.decode(data)
+        r2, g2, b2, _ = jax_codec.decode(ref)
+        assert np.array_equal(r1, r2)
+        assert np.array_equal(g1, g2)
+        assert np.array_equal(b1, b2)
+
     def test_rst_marker_indices_cycle(self, lena_rgb):
         # 512x512 -> 1024 MCUs; ri=100 -> 11 segments, 10 RST markers cycling 0..7
         data = oracle.encode(*split(lena_rgb), restart_interval=100)
