@@ -453,6 +453,106 @@ long jz_sparsify(const int16_t* dense, long nblocks, int k,
 // transfer; bit-identical to the device color path in exact mode.
 // y: [H, W]; cb, cr: [H/2, W/2]; out: [H, W, 3].
 // ---------------------------------------------------------------------------
+// Encode-side color transport: interleaved RGB [N, H, W, 3] u8 ->
+// level-shifted Y [N, H, W] i8 + 4:2:0 top-left-decimated Cb/Cr
+// [N, H/2, W/2] i8.  Same double-precision expression order and int
+// truncation as the reference's RGB::Y/Cb/Cr (jpezy_encoder.hpp:245-256),
+// with the chroma decimation (jpezy_encoder.hpp:116-143) applied before
+// the chroma arithmetic (pointwise, so the order is equivalent).
+// H and W must be even.  Multithreaded over rows.
+void jz_rgb_to_ycc420(const uint8_t* rgb, long N, long H, long W,
+                      int8_t* y, int8_t* cb, int8_t* cr, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    const long rows = N * H;
+    const long cw = W / 2;
+    auto work = [&](long r0, long r1) {
+        for (long r = r0; r < r1; ++r) {
+            const uint8_t* p = rgb + r * W * 3;
+            int8_t* yrow = y + r * W;
+            for (long c = 0; c < W; ++c) {
+                double rf = (double)p[3 * c];
+                double gf = (double)p[3 * c + 1];
+                double bf = (double)p[3 * c + 2];
+                yrow[c] = (int8_t)(int32_t)(
+                    (0.2990 * rf) + (0.5870 * gf) + (0.1140 * bf) - 128.0);
+            }
+            if ((r % H) % 2 == 0) {  // top-left of each 2x2
+                long n = r / H, hr = (r % H) / 2;
+                int8_t* cbrow = cb + (n * (H / 2) + hr) * cw;
+                int8_t* crrow = cr + (n * (H / 2) + hr) * cw;
+                for (long c = 0; c < cw; ++c) {
+                    double rf = (double)p[6 * c];
+                    double gf = (double)p[6 * c + 1];
+                    double bf = (double)p[6 * c + 2];
+                    cbrow[c] = (int8_t)(int32_t)(
+                        -(0.1687 * rf) - (0.3313 * gf) + (0.5000 * bf));
+                    crrow[c] = (int8_t)(int32_t)(
+                        (0.5000 * rf) - (0.4187 * gf) - (0.0813 * bf));
+                }
+            }
+        }
+    };
+    if (nthreads == 1 || rows < 64) {
+        work(0, rows);
+        return;
+    }
+    long per = (rows + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long r0 = t * per, r1 = r0 + per < rows ? r0 + per : rows;
+        if (r0 >= r1) break;
+        threads.emplace_back(work, r0, r1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Batched, multithreaded variant: [N, H, W] planes -> [N, H, W, 3] RGB.
+void jz_ycc420_to_rgb_batch(const uint8_t* y, const uint8_t* cb,
+                            const uint8_t* cr, long N, long H, long W,
+                            uint8_t* out, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    const long rows = N * H;
+    const long cw = W / 2, chh = H / 2;
+    auto work = [&](long r0, long r1) {
+        for (long r = r0; r < r1; ++r) {
+            long n = r / H, hr = r % H;
+            const uint8_t* yrow = y + r * W;
+            const uint8_t* cbrow = cb + (n * chh + hr / 2) * cw;
+            const uint8_t* crrow = cr + (n * chh + hr / 2) * cw;
+            uint8_t* o = out + r * W * 3;
+            for (long c = 0; c < W; ++c) {
+                double yy = (double)yrow[c];
+                double u = (double)cbrow[c / 2];
+                double v = (double)crrow[c / 2];
+                double rr = yy + (v - 128.0) * 1.4020;
+                double gg = yy - (u - 128.0) * 0.3441 - (v - 128.0) * 0.7139;
+                double bb = yy + (u - 128.0) * 1.7718;
+                o[3 * c] = rr < 0.0 ? 0 : rr > 255.0 ? 255 : (uint8_t)rr;
+                o[3 * c + 1] = gg < 0.0 ? 0 : gg > 255.0 ? 255 : (uint8_t)gg;
+                o[3 * c + 2] = bb < 0.0 ? 0 : bb > 255.0 ? 255 : (uint8_t)bb;
+            }
+        }
+    };
+    if (nthreads == 1 || rows < 64) {
+        work(0, rows);
+        return;
+    }
+    long per = (rows + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long r0 = t * per, r1 = r0 + per < rows ? r0 + per : rows;
+        if (r0 >= r1) break;
+        threads.emplace_back(work, r0, r1);
+    }
+    for (auto& th : threads) th.join();
+}
+
 void jz_ycc420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
                       long H, long W, uint8_t* out) {
     const long cw = (W + 1) / 2;  // chroma plane is ceil(W/2) wide

@@ -259,7 +259,16 @@ def host_rgb_to_ycc420(rgbs: np.ndarray):
 
     Returns (y [N,H,W] int8, cb, cr [N,H/2,W/2] int8): 1.5 bytes/pixel on the
     host->device link vs 3 for RGB.
+
+    Uses the multithreaded C++ runtime when available (bit-identical; this
+    stage is the encode pipeline's host bottleneck), else numpy float64.
     """
+    try:
+        from ..runtime import native
+
+        return native.rgb_to_ycc420(np.ascontiguousarray(rgbs, np.uint8))
+    except ImportError:
+        pass
     rf = rgbs[..., 0].astype(np.float64)
     gf = rgbs[..., 1].astype(np.float64)
     bf = rgbs[..., 2].astype(np.float64)
@@ -666,13 +675,13 @@ def _decode_batch_ycc420_finish(ticket):
     Hm, Wm = mcus_y * 16, mcus_x * 16
     ny = Hm * Wm
     nc = (Hm // 2) * (Wm // 2)
-    ch, cw = (H + 1) // 2, (W + 1) // 2
-    out = np.empty((N, H, W, 3), dtype=np.uint8)
-    for i in range(N):
-        y = packed[i, :ny].reshape(Hm, Wm)[:H, :W]
-        cb = packed[i, ny : ny + nc].reshape(Hm // 2, Wm // 2)[:ch, :cw]
-        cr = packed[i, ny + nc :].reshape(Hm // 2, Wm // 2)[:ch, :cw]
-        out[i] = native.ycc420_to_rgb(y, cb, cr)
+    # multithreaded batch color tail on the padded planes, crop after
+    # (the pad is <= 15 px per axis; the chroma indexing is identical
+    # because Hm, Wm are even and the crop only drops rows/cols)
+    ys = packed[:, :ny].reshape(N, Hm, Wm)
+    cbs = packed[:, ny : ny + nc].reshape(N, Hm // 2, Wm // 2)
+    crs = packed[:, ny + nc :].reshape(N, Hm // 2, Wm // 2)
+    out = native.ycc420_to_rgb_batch(ys, cbs, crs)[:, :H, :W]
     return out, props
 
 

@@ -86,6 +86,17 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_ycc420_to_rgb.argtypes = [
             c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, c_u8p,
         ]
+        lib.jz_ycc420_to_rgb_batch.restype = None
+        lib.jz_ycc420_to_rgb_batch.argtypes = [
+            c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            c_u8p, ctypes.c_int,
+        ]
+        c_i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.jz_rgb_to_ycc420.restype = None
+        lib.jz_rgb_to_ycc420.argtypes = [
+            c_u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            c_i8p, c_i8p, c_i8p, ctypes.c_int,
+        ]
         lib.jz_decode_speculative.restype = ctypes.c_int64
         lib.jz_decode_speculative.argtypes = [
             c_u8p, ctypes.c_long,
@@ -201,6 +212,27 @@ def sparsify(dense: np.ndarray, k: int = 10):
     return mask_lo, mask_hi, vals, idx, dense[idx]
 
 
+def rgb_to_ycc420(rgbs: np.ndarray, nthreads: int = 0):
+    """[N, H, W, 3] u8 -> (y [N,H,W] i8, cb, cr [N,H/2,W/2] i8), the
+    reference's double-precision color math (multithreaded).
+
+    Bit-identical to jax_codec.host_rgb_to_ycc420's numpy path and ~20x
+    faster: this is the encode pipeline's host bottleneck stage."""
+    lib = get_lib()
+    rgbs = np.ascontiguousarray(rgbs, dtype=np.uint8)
+    N, H, W = rgbs.shape[:3]
+    y = np.empty((N, H, W), dtype=np.int8)
+    cb = np.empty((N, H // 2, W // 2), dtype=np.int8)
+    cr = np.empty((N, H // 2, W // 2), dtype=np.int8)
+    P8 = ctypes.POINTER(ctypes.c_int8)
+    lib.jz_rgb_to_ycc420(
+        _u8p(rgbs), N, H, W,
+        y.ctypes.data_as(P8), cb.ctypes.data_as(P8), cr.ctypes.data_as(P8),
+        nthreads,
+    )
+    return y, cb, cr
+
+
 def ycc420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     """Native-resolution planes -> interleaved RGB (reference color tail)."""
     lib = get_lib()
@@ -210,6 +242,21 @@ def ycc420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     cr = np.ascontiguousarray(cr, dtype=np.uint8)
     out = np.empty((H, W, 3), dtype=np.uint8)
     lib.jz_ycc420_to_rgb(_u8p(y), _u8p(cb), _u8p(cr), H, W, _u8p(out))
+    return out
+
+
+def ycc420_to_rgb_batch(ys: np.ndarray, cbs: np.ndarray, crs: np.ndarray,
+                        nthreads: int = 0) -> np.ndarray:
+    """[N, H, W] + 2x [N, H/2, W/2] u8 planes -> [N, H, W, 3] RGB,
+    multithreaded (the batched decode pipeline's host color tail)."""
+    lib = get_lib()
+    N, H, W = ys.shape
+    ys = np.ascontiguousarray(ys, dtype=np.uint8)
+    cbs = np.ascontiguousarray(cbs, dtype=np.uint8)
+    crs = np.ascontiguousarray(crs, dtype=np.uint8)
+    out = np.empty((N, H, W, 3), dtype=np.uint8)
+    lib.jz_ycc420_to_rgb_batch(
+        _u8p(ys), _u8p(cbs), _u8p(crs), N, H, W, _u8p(out), nthreads)
     return out
 
 

@@ -146,3 +146,54 @@ class TestSpeculativeDecode:
         got, _ = native.decode_speculative(pj, 12, nchunks=4)
         for a, b in zip(ref, got):
             assert np.array_equal(a, b)
+
+
+class TestRgbToYcc420:
+    def test_matches_numpy_float64(self):
+        """Native encode-side color transport == the numpy float64 path
+        (the reference's exact double math + truncation), bit for bit."""
+        from jpezy_tpu.codec import jax_codec
+        from jpezy_tpu.runtime import native
+
+        rng = np.random.default_rng(7)
+        rgbs = rng.integers(0, 256, size=(3, 32, 48, 3), dtype=np.uint8)
+        yn, cbn, crn = native.rgb_to_ycc420(rgbs)
+        # numpy reference (the fallback body of host_rgb_to_ycc420)
+        rf = rgbs[..., 0].astype(np.float64)
+        gf = rgbs[..., 1].astype(np.float64)
+        bf = rgbs[..., 2].astype(np.float64)
+        y = ((0.2990 * rf) + (0.5870 * gf) + (0.1140 * bf) - 128.0).astype(
+            np.int32).astype(np.int8)
+        sub = rgbs[:, 0::2, 0::2, :].astype(np.float64)
+        rs, gs, bs = sub[..., 0], sub[..., 1], sub[..., 2]
+        cb = (-(0.1687 * rs) - (0.3313 * gs) + (0.5000 * bs)).astype(
+            np.int32).astype(np.int8)
+        cr = ((0.5000 * rs) - (0.4187 * gs) - (0.0813 * bs)).astype(
+            np.int32).astype(np.int8)
+        assert np.array_equal(yn, y)
+        assert np.array_equal(cbn, cb)
+        assert np.array_equal(crn, cr)
+
+    def test_single_thread_matches_mt(self):
+        from jpezy_tpu.runtime import native
+
+        rng = np.random.default_rng(8)
+        rgbs = rng.integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+        a = native.rgb_to_ycc420(rgbs, nthreads=1)
+        b = native.rgb_to_ycc420(rgbs, nthreads=8)
+        for x, z in zip(a, b):
+            assert np.array_equal(x, z)
+
+
+class TestYcc420ToRgbBatch:
+    def test_matches_single(self):
+        from jpezy_tpu.runtime import native
+
+        rng = np.random.default_rng(9)
+        ys = rng.integers(0, 256, (3, 32, 48), dtype=np.uint8)
+        cbs = rng.integers(0, 256, (3, 16, 24), dtype=np.uint8)
+        crs = rng.integers(0, 256, (3, 16, 24), dtype=np.uint8)
+        batch = native.ycc420_to_rgb_batch(ys, cbs, crs)
+        for i in range(3):
+            single = native.ycc420_to_rgb(ys[i], cbs[i], crs[i])
+            assert np.array_equal(batch[i], single)
