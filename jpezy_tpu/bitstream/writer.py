@@ -31,12 +31,15 @@ def _marker(m: int) -> bytes:
 
 
 def write_header(pr: ImageProps, restart_interval: int = 0,
-                 quant_tables=None) -> bytes:
+                 quant_tables=None, huff_tables=None) -> bytes:
     """Serialize SOI..SOS headers for the fixed 4:2:0 Annex-K encoder.
 
     restart_interval > 0 inserts a DRI segment before SOS (extension; the
     reference never emits one, README.md:33).  quant_tables overrides the
     (luma, chroma) quantization tables (extension: quality scaling).
+    huff_tables overrides the four DHT segments (extension: per-image
+    optimal tables): ((dc0_bits, dc0_vals), (dc1_bits, dc1_vals),
+    (ac0_bits, ac0_vals), (ac1_bits, ac1_vals)).
     """
     out = bytearray()
     # SOI (jpezy_writer.hpp:26)
@@ -68,10 +71,17 @@ def write_header(pr: ImageProps, restart_interval: int = 0,
         out += bytes(int(qt[T.ZIGZAG[i]]) for i in range(64))
 
     # DHT x4 (jpezy_writer.hpp:61-64)
-    out += T.dht_segment(0, 0, T.DC_LUMA_BITS, T.DC_LUMA_VALS)
-    out += T.dht_segment(0, 1, T.DC_CHROMA_BITS, T.DC_CHROMA_VALS)
-    out += T.dht_segment(1, 0, T.AC_LUMA_BITS, T.AC_LUMA_VALS)
-    out += T.dht_segment(1, 1, T.AC_CHROMA_BITS, T.AC_CHROMA_VALS)
+    if huff_tables is None:
+        out += T.dht_segment(0, 0, T.DC_LUMA_BITS, T.DC_LUMA_VALS)
+        out += T.dht_segment(0, 1, T.DC_CHROMA_BITS, T.DC_CHROMA_VALS)
+        out += T.dht_segment(1, 0, T.AC_LUMA_BITS, T.AC_LUMA_VALS)
+        out += T.dht_segment(1, 1, T.AC_CHROMA_BITS, T.AC_CHROMA_VALS)
+    else:
+        dc0, dc1, ac0, ac1 = huff_tables
+        out += T.dht_segment(0, 0, *dc0)
+        out += T.dht_segment(0, 1, *dc1)
+        out += T.dht_segment(1, 0, *ac0)
+        out += T.dht_segment(1, 1, *ac1)
 
     # SOF0 (jpezy_writer.hpp:67-81) -- component ids 0,1,2; sampling 0x22/0x11
     dim = pr.dimension

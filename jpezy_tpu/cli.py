@@ -24,10 +24,21 @@ from .utils.timing import SectionTimer, disp_logo
 def _encode_usage() -> int:
     print(
         "Usage: jpezy encode <input.ppm> "
-        "( <output.(jpeg | jpg) [OPT: --gray]> | <output.ppm> | --debug )",
+        "( <output.(jpeg | jpg) [OPT: --gray] [--optimize] [--quality N] "
+        "[--restart-interval N]> | <output.ppm> | --debug )",
         file=sys.stderr,
     )
     return 1
+
+
+def _int_flag(rest: list[str], name: str) -> int | None:
+    """Parse `--name N` from the flag list; None when absent."""
+    if name not in rest:
+        return None
+    i = rest.index(name)
+    if i + 1 >= len(rest):
+        raise ValueError(f"{name} needs a value")
+    return int(rest[i + 1])
 
 
 def _decode_usage() -> int:
@@ -43,7 +54,15 @@ def cmd_encode(argv: list[str]) -> int:
     if len(argv) < 2:
         return _encode_usage()
     inp, outp = argv[0], argv[1]
-    gray = "--gray" in argv[2:]
+    rest = argv[2:]
+    gray = "--gray" in rest
+    optimize = "--optimize" in rest
+    try:
+        quality = _int_flag(rest, "--quality")
+        restart = _int_flag(rest, "--restart-interval") or 0
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return _encode_usage()
 
     from .runtime import ppm
 
@@ -70,7 +89,8 @@ def cmd_encode(argv: list[str]) -> int:
     from .codec import jax_codec
 
     data = jax_codec.encode(
-        rgb[..., 0], rgb[..., 1], rgb[..., 2], gray=gray
+        rgb[..., 0], rgb[..., 1], rgb[..., 2], gray=gray,
+        optimize=optimize, quality=quality, restart_interval=restart,
     )
     with open(outp, "wb") as f:
         f.write(data)

@@ -67,6 +67,20 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     restart_interval > 0 (extension) resets the DC predictor chains every
     that many MCUs (T.81 F.2.1.3.1) so segments entropy-decode independently.
     """
+    yq, cbq, crq = quantize_planes(
+        r, g, b, ph=ph, pw=pw, gray=gray, precision=precision,
+        rounded=rounded, quality=quality,
+    )
+    return _emit_interleave_pack(yq, cbq, crq, restart_interval)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ph", "pw", "gray", "precision", "rounded", "quality"))
+def quantize_planes(r, g, b, *, ph: int, pw: int, gray: bool,
+                    precision: str = "fast", rounded: bool = False,
+                    quality: int | None = None):
+    """RGB planes -> quantized coefficient blocks (yq [nm*4,64], cbq, crq
+    [nm,64] int32), the shared front half of every encode pipeline."""
     dt = _dtype(precision)
     y, cb, cr = C.rgb_to_ycc(r, g, b, dt)
     y = B.pad_replicate(y, ph, pw)
@@ -85,11 +99,22 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
     yq = Q.quantize(D.forward_dct(yb, dt), chroma=False, rounded=rounded, qtable=yqt)
     cbq = Q.quantize(D.forward_dct(cbb, dt), chroma=True, rounded=rounded, qtable=cqt)
     crq = Q.quantize(D.forward_dct(crb, dt), chroma=True, rounded=rounded, qtable=cqt)
+    return yq, cbq, crq
 
+
+def _emit_interleave_pack(yq, cbq, crq, restart_interval: int,
+                          ytables=None, ctables=None):
+    """Quantized blocks -> packed per-block words+bits in MCU emission order.
+
+    ytables/ctables: optional custom flat Huffman tables (see
+    ops.entropy.block_emissions); None = fixed Annex K."""
     ems = [
         E.block_emissions(
-            q, E.dc_predictors_restart(q[:, 0], restart_interval * bpm), chroma)
-        for q, chroma, bpm in ((yq, False, 4), (cbq, True, 1), (crq, True, 1))
+            q, E.dc_predictors_restart(q[:, 0], restart_interval * bpm),
+            chroma, tables=tabs)
+        for q, chroma, bpm, tabs in (
+            (yq, False, 4, ytables), (cbq, True, 1, ctables),
+            (crq, True, 1, ctables))
     ]
     nm = cbq.shape[0]
     # interleave emissions to MCU order (Y0..Y3, Cb, Cr), then pack ONCE
@@ -101,6 +126,42 @@ def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
         for j in range(3)
     )
     return E.pack_block_words(hi, lo, n)
+
+
+def _concat_combined(words, bits, restart_interval: int):
+    """Device splice + single-fetch `combined` layout (see encode_to_stream)."""
+    maxw = stream_budget_words(words.shape[0])
+    if restart_interval:
+        stream, total, seg_bits = E.concat_device_restart(
+            words, bits, maxw, 6 * restart_interval)
+        return jnp.concatenate(
+            [total[None].astype(jnp.uint32), seg_bits.astype(jnp.uint32),
+             stream])
+    stream, total = E.concat_device(words, bits, maxw)
+    return jnp.concatenate([total[None].astype(jnp.uint32), stream])
+
+
+@functools.partial(jax.jit, static_argnames=("restart_interval",))
+def _symbol_histograms(yq, cbq, crq, *, restart_interval: int = 0):
+    """Pass 1 of the two-pass optimized encode: Huffman symbol frequencies.
+
+    Returns [4, 256] int32: Y-DC, Y-AC, C-DC, C-AC counts (both chroma
+    components share one table pair, like the reference's fixed tables)."""
+    ri = restart_interval
+    ydc, yac = E.symbol_histograms(yq, E.dc_predictors_restart(yq[:, 0], ri * 4))
+    bdc, bac = E.symbol_histograms(cbq, E.dc_predictors_restart(cbq[:, 0], ri))
+    rdc, rac = E.symbol_histograms(crq, E.dc_predictors_restart(crq[:, 0], ri))
+    return jnp.stack([ydc, yac, bdc + rdc, bac + rac])
+
+
+@functools.partial(jax.jit, static_argnames=("restart_interval",))
+def _entropy_stream_custom(yq, cbq, crq, ytables, ctables, *,
+                           restart_interval: int = 0):
+    """Pass 2 of the optimized encode: entropy-code device-resident blocks
+    with custom (traced) Huffman tables.  Same returns as encode_to_stream."""
+    words, bits = _emit_interleave_pack(
+        yq, cbq, crq, restart_interval, ytables, ctables)
+    return _concat_combined(words, bits, restart_interval), words, bits
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -122,17 +183,7 @@ def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
         r, g, b, ph=ph, pw=pw, gray=gray, precision=precision,
         rounded=rounded, quality=quality, restart_interval=restart_interval,
     )
-    maxw = stream_budget_words(words.shape[0])
-    if restart_interval:
-        stream, total, seg_bits = E.concat_device_restart(
-            words, bits, maxw, 6 * restart_interval)
-        combined = jnp.concatenate(
-            [total[None].astype(jnp.uint32), seg_bits.astype(jnp.uint32),
-             stream])
-    else:
-        stream, total = E.concat_device(words, bits, maxw)
-        combined = jnp.concatenate([total[None].astype(jnp.uint32), stream])
-    return combined, words, bits
+    return _concat_combined(words, bits, restart_interval), words, bits
 
 
 def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
@@ -172,29 +223,53 @@ def _assemble_restart_segments(raw: bytes, seg_bits: np.ndarray) -> bytes:
 def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
            props: ImageProps | None = None, *, gray: bool = False,
            precision: str = "fast", rounded: bool = False,
-           quality: int | None = None, restart_interval: int = 0) -> bytes:
+           quality: int | None = None, restart_interval: int = 0,
+           optimize: bool = False) -> bytes:
     """Full encode: RGB planes [H, W] uint8 -> baseline JFIF bytes.
 
     quality (extension): libjpeg-style scaling of the Annex K tables;
     None = the reference's fixed tables.
     restart_interval (extension): emit DRI + RSTn every that many MCUs
     (the reference never does, README.md:33) -- enables parallel entropy
-    decode of our own streams (runtime/native.py jz_entropy_decode_mt)."""
+    decode of our own streams (runtime/native.py jz_entropy_decode_mt).
+    optimize (extension): two-pass encode with per-image optimal Huffman
+    tables (the libjpeg -optimize analog): pass 1 histograms the symbols on
+    device (one tiny [4,256] fetch), the host derives optimal code lengths
+    (T.81 Annex K.2), pass 2 re-codes the device-resident coefficients with
+    the custom tables.  Typically 2-8%% smaller files, identical pixels."""
     h, w = r.shape
     if props is None:
         props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
     ri = restart_interval
-    combined, words, bits = encode_to_stream(
-        jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
-        ph=geo.padded_height, pw=geo.padded_width, gray=gray,
-        precision=precision, rounded=rounded, quality=quality,
-        restart_interval=ri,
-    )
+    huff = None
+    if optimize:
+        yq, cbq, crq = quantize_planes(
+            jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
+            ph=geo.padded_height, pw=geo.padded_width, gray=gray,
+            precision=precision, rounded=rounded, quality=quality,
+        )
+        hists = np.asarray(_symbol_histograms(yq, cbq, crq,
+                                              restart_interval=ri))
+        ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
+        cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
+        combined, words, bits = _entropy_stream_custom(
+            yq, cbq, crq, tuple(jnp.asarray(a) for a in yflat),
+            tuple(jnp.asarray(a) for a in cflat), restart_interval=ri,
+        )
+        huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
+    else:
+        combined, words, bits = encode_to_stream(
+            jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
+            ph=geo.padded_height, pw=geo.padded_width, gray=gray,
+            precision=precision, rounded=rounded, quality=quality,
+            restart_interval=ri,
+        )
     combined = np.asarray(combined)  # ONE fetch: [total_bits, stream...]
     total = int(combined[0])
     qt = T.scale_quant_tables(quality) if quality is not None else None
-    header = writer.write_header(props, restart_interval=ri, quant_tables=qt)
+    header = writer.write_header(props, restart_interval=ri, quant_tables=qt,
+                                 huff_tables=huff)
     if ri:
         S = -(-geo.num_mcus // ri)
         seg_bits, stream = combined[1 : 1 + S], combined[1 + S :]

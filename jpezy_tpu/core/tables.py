@@ -429,6 +429,103 @@ def scale_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return s(Y_QUANT), s(C_QUANT)
 
 
+def optimal_huffman_table(freq: np.ndarray) -> tuple[bytes, bytes]:
+    """Derive optimal Huffman code lengths from symbol frequencies.
+
+    T.81 Annex K.2 procedure (the libjpeg `-optimize` analog; an extension --
+    the reference only ever uses the fixed Annex K.3-K.6 tables): pair-merge
+    by lowest frequency, limit code lengths to 16 bits, and reserve one
+    pseudo-symbol so no real symbol is assigned the all-ones codeword.
+
+    freq: [256] counts.  Returns (bits [16] bytes, huffval bytes) for a DHT
+    segment; huffval lists symbols by ascending code length then value.
+    """
+    MAX_CLEN = 32
+    f = np.zeros(257, dtype=np.int64)
+    f[:256] = np.asarray(freq, dtype=np.int64)
+    f[256] = 1  # reserved: claims the all-ones code (T.81 K.2 note)
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+
+    while True:
+        # two least-frequent chains; ties pick the larger symbol value
+        c1 = c2 = -1
+        v1 = v2 = np.iinfo(np.int64).max
+        for i in range(257):
+            if f[i] == 0:
+                continue
+            if f[i] <= v1:
+                v1 = f[i]
+                c1 = i
+        for i in range(257):
+            if f[i] == 0 or i == c1:
+                continue
+            if f[i] <= v2:
+                v2 = f[i]
+                c2 = i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+
+    bits = np.zeros(MAX_CLEN + 1, dtype=np.int64)
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+
+    # limit code lengths to 16 bits (T.81 K.2 "Adjust_BITS")
+    for i in range(MAX_CLEN, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol
+
+    huffval = bytes(
+        sym
+        for size in range(1, MAX_CLEN + 1)
+        for sym in range(256)
+        if codesize[sym] == size
+    )
+    return bytes(int(b) for b in bits[1:17]), huffval
+
+
+def optimal_flat_tables(dc_freq: np.ndarray, ac_freq: np.ndarray):
+    """Optimal tables in the encoder's flat lookup layouts.
+
+    Returns ((dc_bits, dc_vals), (ac_bits, ac_vals),
+             dc_size [12], dc_code [12], ac_size [162], ac_code [162])
+    where the flat arrays are indexed by DC category / ac_symbol_index.
+    """
+    dc_bits, dc_vals = optimal_huffman_table(dc_freq)
+    ac_bits, ac_vals = optimal_huffman_table(ac_freq)
+    dsz, dcd = build_canonical_codes(dc_bits)
+    dc_size = np.zeros(12, dtype=np.int32)
+    dc_code = np.zeros(12, dtype=np.int32)
+    for v, size, code in zip(dc_vals, dsz, dcd):
+        dc_size[v] = size
+        dc_code[v] = code
+    asz, acd = build_canonical_codes(ac_bits)
+    ac_size, ac_code = huffval_to_flat_ac(ac_vals, asz, acd)
+    return (dc_bits, dc_vals), (ac_bits, ac_vals), dc_size, dc_code, ac_size, ac_code
+
+
 def dht_segment(table_class: int, table_id: int, bits: bytes, vals: bytes) -> bytes:
     """Serialize one DHT segment (marker + length + Tc/Th + BITS + HUFFVAL).
 

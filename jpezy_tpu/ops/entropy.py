@@ -86,22 +86,74 @@ def dc_predictors_restart(dc: jnp.ndarray, seg_blocks: int) -> jnp.ndarray:
     return jnp.where(idx % seg_blocks == 0, jnp.zeros_like(pred), pred)
 
 
-def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool):
+def _ac_run_size(qblocks: jnp.ndarray):
+    """Shared AC run-length derivation over zigzag positions 1..63.
+
+    Returns (zz [B,63] zigzag AC values, nz nonzero mask, zrl_count ZRL
+    emissions before each nonzero, rem run&15, s_ac magnitude category).
+    """
+    B = qblocks.shape[0]
+    zz = qblocks[:, jnp.asarray(T.ZIGZAG)][:, 1:]  # [B, 63]
+    nz = zz != 0
+    pos = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    marked = jnp.where(nz, pos, 0)
+    prev_incl = jax_cummax(marked)
+    prev_excl = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), prev_incl[:, :-1]], axis=1
+    )
+    run = pos - prev_excl - 1
+    zrl_count = jnp.where(nz, run >> 4, 0)
+    rem = run & 15
+    s_ac = bit_category(zz)
+    return zz, nz, zrl_count, rem, s_ac
+
+
+def symbol_histograms(qblocks: jnp.ndarray, dc_pred: jnp.ndarray):
+    """Huffman symbol frequencies for one component's blocks (pass 1 of the
+    two-pass `optimize` encode -- the libjpeg -optimize analog).
+
+    Returns (dc_hist [256], ac_hist [256]) int32: DC magnitude-category
+    counts and AC RRRRSSSS symbol counts (incl. ZRL 0xF0 and EOB 0x00),
+    exactly the symbols block_emissions would emit.
+    """
+    diff = qblocks[:, 0] - dc_pred
+    s = bit_category(diff)
+    dc_hist = jnp.zeros((256,), jnp.int32).at[s].add(1)
+
+    zz, nz, zrl_count, rem, s_ac = _ac_run_size(qblocks)
+    sym = (rem << 4) | s_ac
+    ac_hist = jnp.zeros((256,), jnp.int32)
+    ac_hist = ac_hist.at[jnp.where(nz, sym, 0)].add(nz.astype(jnp.int32))
+    ac_hist = ac_hist.at[0xF0].add(zrl_count.sum().astype(jnp.int32))
+    ac_hist = ac_hist.at[0x00].add(
+        (~nz[:, -1]).sum().astype(jnp.int32))  # EOB per block
+    return dc_hist, ac_hist
+
+
+def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool,
+                    tables=None):
     """[B, 64] quantized blocks -> merged emissions (hi, lo, nbits) [B, 64].
 
     Emission slot 0: DC code + extra bits.
     Slot j (1..63): ZRLs + AC code + extra for zigzag position j when the
     coefficient is nonzero; EOB at slot 63 when position 63 is zero.
+
+    tables: optional (dc_size [12+], dc_code, ac_size [162], ac_code)
+    arrays (traced ok) in the flat layouts of core.tables; None = the fixed
+    Annex K tables selected by `chroma`.
     """
     B = qblocks.shape[0]
-    dc_size = jnp.asarray(T.C_DC_SIZE if chroma else T.Y_DC_SIZE)
-    dc_code = jnp.asarray(T.C_DC_CODE if chroma else T.Y_DC_CODE)
-    ac_size = jnp.asarray(T.C_AC_SIZE if chroma else T.Y_AC_SIZE)
-    ac_code = jnp.asarray(T.C_AC_CODE if chroma else T.Y_AC_CODE)
-    zrl_s = int((T.C_AC_SIZE if chroma else T.Y_AC_SIZE)[T.ZRL_INDEX])
-    zrl_c = int((T.C_AC_CODE if chroma else T.Y_AC_CODE)[T.ZRL_INDEX])
-    eob_s = int((T.C_AC_SIZE if chroma else T.Y_AC_SIZE)[T.EOB_INDEX])
-    eob_c = int((T.C_AC_CODE if chroma else T.Y_AC_CODE)[T.EOB_INDEX])
+    if tables is None:
+        dc_size = jnp.asarray(T.C_DC_SIZE if chroma else T.Y_DC_SIZE)
+        dc_code = jnp.asarray(T.C_DC_CODE if chroma else T.Y_DC_CODE)
+        ac_size = jnp.asarray(T.C_AC_SIZE if chroma else T.Y_AC_SIZE)
+        ac_code = jnp.asarray(T.C_AC_CODE if chroma else T.Y_AC_CODE)
+    else:
+        dc_size, dc_code, ac_size, ac_code = tables
+    zrl_s = ac_size[T.ZRL_INDEX]
+    zrl_c = ac_code[T.ZRL_INDEX]
+    eob_s = ac_size[T.EOB_INDEX]
+    eob_c = ac_code[T.EOB_INDEX]
 
     # ---- DC (jpezy_encoder.hpp:179-192)
     dc = qblocks[:, 0]
@@ -116,18 +168,7 @@ def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool):
     hi0, lo0, n0 = _append(hi0, lo0, n0, extra, s)
 
     # ---- AC (jpezy_encoder.hpp:194-224)
-    zz = qblocks[:, jnp.asarray(T.ZIGZAG)][:, 1:]  # [B, 63]
-    nz = zz != 0
-    pos = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
-    marked = jnp.where(nz, pos, 0)
-    prev_incl = jax_cummax(marked)
-    prev_excl = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), prev_incl[:, :-1]], axis=1
-    )
-    run = pos - prev_excl - 1
-    zrl_count = jnp.where(nz, run >> 4, 0)
-    rem = run & 15
-    s_ac = bit_category(zz)
+    zz, nz, zrl_count, rem, s_ac = _ac_run_size(qblocks)
     idx = rem * 10 + s_ac + (rem == 15)
 
     hi = jnp.zeros((B, 63), jnp.uint32)
