@@ -358,9 +358,47 @@ def host_rgb_to_ycc420(rgbs: np.ndarray):
     return y, cb, cr
 
 
+@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
+def _quantize_batch_ycc(y, cb, cr, *, gray=False, precision="fast",
+                        rounded=False):
+    from ..parallel.sharded import _quantize_local_ycc
+
+    return _quantize_local_ycc(y, cb, cr, gray=gray, dtype=_dtype(precision),
+                               rounded=rounded)
+
+
+@jax.jit
+def _symbol_histograms_batch(yq, cbq, crq):
+    """[4, 256] Huffman symbol counts over a whole batch (shared tables)."""
+    def per_comp(q):
+        dc = q[:, :, 0]
+        pred = jnp.concatenate(
+            [jnp.zeros_like(dc[:, :1]), dc[:, :-1]], axis=1)
+        return E.symbol_histograms(q.reshape(-1, 64), pred.reshape(-1))
+
+    ydc, yac = per_comp(yq)
+    bdc, bac = per_comp(cbq)
+    rdc, rac = per_comp(crq)
+    return jnp.stack([ydc, yac, bdc + rdc, bac + rac])
+
+
+@jax.jit
+def _encode_batch_custom(yq, cbq, crq, ytables, ctables):
+    from ..parallel.sharded import _emit_local
+
+    words, bits = _emit_local(yq, cbq, crq, tile_axis=None,
+                              tables=(ytables, ctables))
+    maxw = stream_budget_words(words.shape[1])
+    streams, totals = E.concat_device_batch(words, bits, maxw)
+    return jnp.concatenate(
+        [totals[:, None].astype(jnp.uint32), streams], axis=1
+    ), words, bits
+
+
 def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
                           precision: str = "fast", rounded: bool = False,
-                          transport: str | None = None):
+                          transport: str | None = None,
+                          optimize: bool = False):
     """Asynchronously dispatch a uniform-batch encode (upload + device work).
 
     Returns an opaque ticket for encode_batch_finish.  JAX dispatch is
@@ -371,12 +409,31 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
     reference's exact truncation) and uploads int8 planes -- half the link
     bytes of "rgb", which uploads raw planes and converts on device.
     Default ycc420: identical streams in exact mode; in fast mode it is the
-    float64 color conversion (closer to the reference than float32)."""
+    float64 color conversion (closer to the reference than float32).
+
+    optimize: one optimal Huffman table set SHARED by the whole batch
+    (one extra tiny histogram fetch; the per-batch tables are near-optimal
+    per image for homogeneous batches).  Implies ycc420 transport."""
     n, h, w = rgbs.shape[:3]
     if h % 16 or w % 16:
         raise ValueError("encode_batch needs multiple-of-16 dims")
     if transport is None:
         transport = "ycc420"
+    if optimize:
+        y, cb, cr = host_rgb_to_ycc420(rgbs)
+        yq, cbq, crq = _quantize_batch_ycc(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            gray=gray, precision=precision, rounded=rounded,
+        )
+        hists = np.asarray(_symbol_histograms_batch(yq, cbq, crq))
+        ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
+        cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
+        combined, words, bits = _encode_batch_custom(
+            yq, cbq, crq, tuple(jnp.asarray(a) for a in yflat),
+            tuple(jnp.asarray(a) for a in cflat),
+        )
+        huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
+        return (combined, words, bits, n, h, w, gray, huff)
     if transport == "ycc420":
         y, cb, cr = host_rgb_to_ycc420(rgbs)
         combined, words, bits = _encode_batch_blocks_ycc(
@@ -389,15 +446,16 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
             jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
             rounded=rounded,
         )
-    return (combined, words, bits, n, h, w, gray)
+    return (combined, words, bits, n, h, w, gray, None)
 
 
 def encode_batch_finish(ticket) -> list[bytes]:
     """Block on a dispatched batch encode and assemble the JFIF streams."""
-    combined, words, bits, n, h, w, gray = ticket
+    combined, words, bits, n, h, w, gray, huff = ticket
     combined = np.asarray(combined)  # ONE fetch for the whole batch
     maxw = combined.shape[1] - 1
-    header = writer.write_header(make_encode_props(w, h, gray=gray))
+    header = writer.write_header(make_encode_props(w, h, gray=gray),
+                                 huff_tables=huff)
     out = []
     for i in range(n):
         total = int(combined[i, 0])

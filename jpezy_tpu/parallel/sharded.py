@@ -58,19 +58,38 @@ def _encode_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
     Entry point for the host-converted int8 upload transport (half the
     link bytes of RGB; see codec.jax_codec.host_rgb_to_ycc420).
     """
+    yq, cbq, crq = _quantize_local_ycc(
+        y, cb, cr, gray=gray, dtype=dtype, rounded=rounded)
+    return _emit_local(yq, cbq, crq, tile_axis=tile_axis,
+                       use_pallas=use_pallas)
+
+
+def _quantize_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool):
+    """YCC planes -> per-component quantized blocks [N_loc, B_loc, 64]."""
     yb = jax.vmap(B.blockify_luma)(y)
     cbb = jax.vmap(B.blockify_chroma)(cb)
     crb = jax.vmap(B.blockify_chroma)(cr)
     if gray:
         cbb = jnp.zeros_like(cbb)
         crb = jnp.zeros_like(crb)
-
-    ems = []
+    out = []
     for blk, chroma in ((yb, False), (cbb, True), (crb, True)):
         n_loc, b_loc, _ = blk.shape
-        q = Q.quantize(
+        out.append(Q.quantize(
             D.forward_dct(blk.reshape(-1, 64), dtype), chroma, rounded=rounded
-        ).reshape(n_loc, b_loc, 64)
+        ).reshape(n_loc, b_loc, 64))
+    return tuple(out)
+
+
+def _emit_local(yq, cbq, crq, *, tile_axis: str | None,
+                use_pallas: bool | None = None, tables=(None, None)):
+    """Quantized blocks -> (words, bits), with the DC-carry ppermute when
+    tile-sharded.  tables: optional (ytables, ctables) custom flat Huffman
+    tables (see ops.entropy.block_emissions)."""
+    ems = []
+    for q, chroma, tabs in ((yq, False, tables[0]), (cbq, True, tables[1]),
+                            (crq, True, tables[1])):
+        n_loc, b_loc, _ = q.shape
         dc = q[:, :, 0]
         if tile_axis is not None:
             axis_size = jax.lax.axis_size(tile_axis)
@@ -85,7 +104,7 @@ def _encode_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
         # (the DC chain is already captured in `pred`), and vmap would
         # serialize the Pallas pack kernel
         hi, lo, nb = E.block_emissions(
-            q.reshape(-1, 64), pred.reshape(-1), chroma
+            q.reshape(-1, 64), pred.reshape(-1), chroma, tables=tabs
         )
         ems.append(tuple(x.reshape(n_loc, b_loc, 64) for x in (hi, lo, nb)))
 
