@@ -60,6 +60,10 @@ def cmd_encode(argv: list[str]) -> int:
     try:
         quality = _int_flag(rest, "--quality")
         restart = _int_flag(rest, "--restart-interval") or 0
+        if quality is not None and not 1 <= quality <= 100:
+            raise ValueError("--quality must be in 1..100")
+        if restart < 0:
+            raise ValueError("--restart-interval must be >= 0")
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return _encode_usage()
@@ -186,9 +190,20 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_encode(rest)
     if cmd == "decode":
         return cmd_decode(rest)
-    # allow jpezy_encode / jpezy_decode style single-purpose invocation
     print("Usage: jpezy (encode | decode) ...", file=sys.stderr)
     return 1
+
+
+def main_encode(argv: list[str] | None = None) -> int:
+    """`jpezy_encode in.ppm out.jpg ...` -- the reference's first binary
+    (CMakeLists.txt:7)."""
+    return main(["encode"] + list(sys.argv[1:] if argv is None else argv))
+
+
+def main_decode(argv: list[str] | None = None) -> int:
+    """`jpezy_decode in.jpg out.ppm ...` -- the reference's second binary
+    (CMakeLists.txt:8)."""
+    return main(["decode"] + list(sys.argv[1:] if argv is None else argv))
 
 
 if __name__ == "__main__":

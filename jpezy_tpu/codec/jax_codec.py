@@ -238,6 +238,8 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     (T.81 Annex K.2), pass 2 re-codes the device-resident coefficients with
     the custom tables.  Typically 2-8%% smaller files, identical pixels."""
     h, w = r.shape
+    if restart_interval < 0:
+        raise ValueError(f"restart_interval must be >= 0, got {restart_interval}")
     if props is None:
         props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
@@ -538,10 +540,34 @@ def plane_to_gray(y, *, precision="fast"):
     return C.clamp_gray(y, _dtype(precision))
 
 
-def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
-    """Host entropy frontend: serial Huffman decode -> [B, 64] blocks/component.
+def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
+    """Route restart-free streams to the speculative parallel decoder?
 
-    Uses the C++ native scanner when available, else the numpy LUT decoder.
+    The speculative scan does ~S hypothesis decodes per chunk (S = blocks
+    per MCU), so it only pays off when the thread pool can absorb that
+    redundancy: require enough cores AND enough MCUs to amortize thread
+    spawns.  JPEZY_SPEC_DECODE=1/0 forces it on/off (tests use this).
+    """
+    import os
+
+    force = os.environ.get("JPEZY_SPEC_DECODE")
+    if force is not None:
+        return force == "1"
+    if pj.restart_interval:
+        return False  # restart segments already decode thread-parallel
+    ncores = os.cpu_count() or 1
+    return ncores >= 4 and n_mcus >= 4096
+
+
+def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
+    """Host entropy frontend: Huffman decode -> [B, 64] blocks/component.
+
+    Native C++ paths (fastest first): restart-segment thread-parallel decode
+    when the stream has DRI/RSTn; speculative-resync parallel decode for
+    large restart-free streams on multi-core hosts (SURVEY.md section 2.7
+    option (a), the referent being the strictly serial bit chain at
+    jpezy_decoder.hpp:583-642); serial LUT decode otherwise.  Numpy LUT
+    decoder as the no-native fallback.
     """
     from . import oracle as _o
 
@@ -551,11 +577,18 @@ def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
         for fc in pj.frame_components
     ]
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
+    n_mcus = mcus_x * mcus_y
 
     try:
         from ..runtime import native
 
-        return native.entropy_decode(pj, mcus_x * mcus_y)
+        if not pj.restart_interval and _use_speculative(pj, n_mcus):
+            try:
+                blocks, _stats = native.decode_speculative(pj, n_mcus)
+                return blocks
+            except RuntimeError:
+                pass  # unsynced/failed: fall through to the serial scanner
+        return native.entropy_decode(pj, n_mcus)
     except (ImportError, OSError, RuntimeError):
         pass
 

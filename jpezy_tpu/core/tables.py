@@ -443,6 +443,8 @@ def optimal_huffman_table(freq: np.ndarray) -> tuple[bytes, bytes]:
     MAX_CLEN = 32
     f = np.zeros(257, dtype=np.int64)
     f[:256] = np.asarray(freq, dtype=np.int64)
+    if not f[:256].any():
+        raise ValueError("optimal_huffman_table: all symbol frequencies zero")
     f[256] = 1  # reserved: claims the all-ones code (T.81 K.2 note)
     codesize = np.zeros(257, dtype=np.int64)
     others = np.full(257, -1, dtype=np.int64)
@@ -480,6 +482,11 @@ def optimal_huffman_table(freq: np.ndarray) -> tuple[bytes, bytes]:
     bits = np.zeros(MAX_CLEN + 1, dtype=np.int64)
     for i in range(257):
         if codesize[i]:
+            if codesize[i] > MAX_CLEN:
+                # only pathological (Fibonacci-like) frequency sets over
+                # astronomically large inputs can get here (libjpeg ERREXITs)
+                raise ValueError(
+                    "optimal_huffman_table: code length exceeds 32 bits")
             bits[codesize[i]] += 1
 
     # limit code lengths to 16 bits (T.81 K.2 "Adjust_BITS")

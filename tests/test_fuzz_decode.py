@@ -76,15 +76,6 @@ class TestCorruption:
 
     def test_missing_dht(self, stream):
         # strip the four DHT segments: decodable gate must fire
-        from jpezy_tpu.bitstream import differ
-
-        segs = differ.segment_list(stream)
-        out = bytearray()
-        prev_end = 0
-        for s in segs:
-            if s.name == "DHT":
-                continue
-        # rebuild without DHT via simple byte surgery
         data = stream
         while True:
             i = data.find(b"\xff\xc4")

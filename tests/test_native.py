@@ -147,6 +147,34 @@ class TestSpeculativeDecode:
         for a, b in zip(ref, got):
             assert np.array_equal(a, b)
 
+    def test_routed_main_path_matches_serial(self, small_rgb, monkeypatch):
+        """decode_entropy_host routes restart-free streams to the
+        speculative decoder (JPEZY_SPEC_DECODE toggles); both routes must
+        be bit-identical on our own and foreign (PIL) streams."""
+        import io
+
+        from jpezy_tpu.codec.jax_codec import decode_entropy_host
+        from jpezy_tpu.bitstream.reader import parse
+
+        streams = [oracle.encode(*split(small_rgb))]
+        try:
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(small_rgb).save(buf, "JPEG", quality=80,
+                                            optimize=True)
+            streams.append(buf.getvalue())
+        except ImportError:
+            pass
+        for data in streams:
+            pj = parse(data)
+            monkeypatch.setenv("JPEZY_SPEC_DECODE", "0")
+            ref = decode_entropy_host(pj)
+            monkeypatch.setenv("JPEZY_SPEC_DECODE", "1")
+            got = decode_entropy_host(pj)
+            for a, b in zip(ref, got):
+                assert np.array_equal(a, b)
+
 
 class TestRgbToYcc420:
     def test_matches_numpy_float64(self):

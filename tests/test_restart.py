@@ -99,3 +99,23 @@ class TestRestartEncode:
         assert found == [k % 8 for k in range(10)]
         out = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         assert out.shape == lena_rgb.shape
+
+
+class TestRestartValidation:
+    def test_negative_restart_interval_rejected(self, small_rgb):
+        from jpezy_tpu.codec import jax_codec
+
+        with pytest.raises(ValueError, match="restart_interval"):
+            jax_codec.encode(*split(small_rgb), restart_interval=-1)
+
+    def test_cli_rejects_bad_flags(self, small_rgb, tmp_path, capsys):
+        from jpezy_tpu import cli
+        from jpezy_tpu.runtime import ppm
+
+        src = tmp_path / "in.ppm"
+        ppm.write(str(src), small_rgb, fmt="P3")
+        for flags in (["--restart-interval", "-1"], ["--quality", "0"],
+                      ["--quality", "101"], ["--quality", "x"]):
+            rc = cli.main(["encode", str(src), str(tmp_path / "o.jpg")] + flags)
+            assert rc == 1
+            assert "Usage" in capsys.readouterr().err
