@@ -54,6 +54,18 @@ def stream_budget_words(nblocks: int) -> int:
     return max(4096, nblocks * 4)
 
 
+def _warm_pallas_if_needed() -> None:
+    """Pre-warm the Pallas pack kernel when it will be on the encode path
+    (see ops.pack_pallas.warm_pack_kernel for the why and the numbers)."""
+    import os
+
+    if jax.default_backend() == "tpu" \
+            and os.environ.get("JPEZY_NO_PALLAS") != "1":
+        from ..ops.pack_pallas import warm_pack_kernel
+
+        warm_pack_kernel()
+
+
 @functools.partial(jax.jit, static_argnames=(
     "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
 def encode_to_blocks(r, g, b, *, ph: int, pw: int, gray: bool,
@@ -240,6 +252,7 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     h, w = r.shape
     if restart_interval < 0:
         raise ValueError(f"restart_interval must be >= 0, got {restart_interval}")
+    _warm_pallas_if_needed()
     if props is None:
         props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
@@ -295,35 +308,53 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     return writer.assemble(header, packed)
 
 
-@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
-def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast", rounded=False):
+def _concat_batch_combined(words, bits, restart_interval: int):
+    """Batched device splice -> `combined` [N, R + maxw] uint32 (R = 1
+    total-bits word, plus per-segment bit counts with restarts)."""
+    N, Bn, W = words.shape
+    maxw = stream_budget_words(Bn)
+    if restart_interval:
+        segb = 6 * restart_interval
+        stream, total, seg_bits = jax.vmap(
+            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb)
+        )(words, bits)
+        return jnp.concatenate(
+            [total[:, None].astype(jnp.uint32),
+             seg_bits.astype(jnp.uint32), stream], axis=1)
+    streams, totals = E.concat_device_batch(words, bits, maxw)
+    return jnp.concatenate(
+        [totals[:, None].astype(jnp.uint32), streams], axis=1)
+
+
+def _batch_qtables(quality):
+    return (T.scale_quant_tables(quality) if quality is not None else None)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gray", "precision", "rounded", "quality", "restart_interval"))
+def _encode_batch_blocks(r, g, b, *, gray=False, precision="fast",
+                         rounded=False, quality=None, restart_interval=0):
     from ..parallel.sharded import _encode_local
 
     words, bits = _encode_local(r, g, b, gray=gray, dtype=_dtype(precision),
-                                rounded=rounded, tile_axis=None)
-    maxw = stream_budget_words(words.shape[1])
-    streams, totals = E.concat_device_batch(words, bits, maxw)
-    combined = jnp.concatenate(
-        [totals[:, None].astype(jnp.uint32), streams], axis=1
-    )
-    return combined, words, bits
+                                rounded=rounded, tile_axis=None,
+                                qtables=_batch_qtables(quality),
+                                restart_interval=restart_interval)
+    return _concat_batch_combined(words, bits, restart_interval), words, bits
 
 
-@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
+@functools.partial(jax.jit, static_argnames=(
+    "gray", "precision", "rounded", "quality", "restart_interval"))
 def _encode_batch_blocks_ycc(y, cb, cr, *, gray=False, precision="fast",
-                             rounded=False):
+                             rounded=False, quality=None, restart_interval=0):
     from ..parallel.sharded import _encode_local_ycc
 
     words, bits = _encode_local_ycc(
         y, cb, cr, gray=gray, dtype=_dtype(precision), rounded=rounded,
-        tile_axis=None,
+        tile_axis=None, qtables=_batch_qtables(quality),
+        restart_interval=restart_interval,
     )
-    maxw = stream_budget_words(words.shape[1])
-    streams, totals = E.concat_device_batch(words, bits, maxw)
-    combined = jnp.concatenate(
-        [totals[:, None].astype(jnp.uint32), streams], axis=1
-    )
-    return combined, words, bits
+    return _concat_batch_combined(words, bits, restart_interval), words, bits
 
 
 def host_rgb_to_ycc420(rgbs: np.ndarray):
@@ -360,46 +391,80 @@ def host_rgb_to_ycc420(rgbs: np.ndarray):
     return y, cb, cr
 
 
-@functools.partial(jax.jit, static_argnames=("gray", "precision", "rounded"))
+@functools.partial(jax.jit, static_argnames=(
+    "gray", "precision", "rounded", "quality"))
 def _quantize_batch_ycc(y, cb, cr, *, gray=False, precision="fast",
-                        rounded=False):
+                        rounded=False, quality=None):
     from ..parallel.sharded import _quantize_local_ycc
 
     return _quantize_local_ycc(y, cb, cr, gray=gray, dtype=_dtype(precision),
-                               rounded=rounded)
+                               rounded=rounded, qtables=_batch_qtables(quality))
 
 
-@jax.jit
-def _symbol_histograms_batch(yq, cbq, crq):
-    """[4, 256] Huffman symbol counts over a whole batch (shared tables)."""
-    def per_comp(q):
-        dc = q[:, :, 0]
-        pred = jnp.concatenate(
-            [jnp.zeros_like(dc[:, :1]), dc[:, :-1]], axis=1)
-        return E.symbol_histograms(q.reshape(-1, 64), pred.reshape(-1))
-
-    ydc, yac = per_comp(yq)
-    bdc, bac = per_comp(cbq)
-    rdc, rac = per_comp(crq)
-    return jnp.stack([ydc, yac, bdc + rdc, bac + rac])
+def _batch_pred(q, bpm: int, restart_interval: int):
+    """Per-image DC predictor rows [N, B] with restart resets."""
+    dc = q[:, :, 0]
+    pred = jnp.concatenate([jnp.zeros_like(dc[:, :1]), dc[:, :-1]], axis=1)
+    if restart_interval > 0:
+        segb = restart_interval * bpm
+        idx = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
+        pred = jnp.where(idx % segb == 0, jnp.zeros_like(pred), pred)
+    return pred
 
 
-@jax.jit
-def _encode_batch_custom(yq, cbq, crq, ytables, ctables):
-    from ..parallel.sharded import _emit_local
+@functools.partial(jax.jit, static_argnames=("restart_interval",))
+def _symbol_histograms_batch(yq, cbq, crq, *, restart_interval=0):
+    """PER-IMAGE Huffman symbol counts [N, 4, 256] (the libjpeg -optimize
+    analog, per image like the single-image path; VERDICT r1 #6)."""
+    def per_comp(q, bpm):
+        pred = _batch_pred(q, bpm, restart_interval)
+        return jax.vmap(E.symbol_histograms)(q, pred)
 
-    words, bits = _emit_local(yq, cbq, crq, tile_axis=None,
-                              tables=(ytables, ctables))
-    maxw = stream_budget_words(words.shape[1])
-    streams, totals = E.concat_device_batch(words, bits, maxw)
-    return jnp.concatenate(
-        [totals[:, None].astype(jnp.uint32), streams], axis=1
-    ), words, bits
+    ydc, yac = per_comp(yq, 4)
+    bdc, bac = per_comp(cbq, 1)
+    rdc, rac = per_comp(crq, 1)
+    return jnp.stack([ydc, yac, bdc + rdc, bac + rac], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("restart_interval",))
+def _encode_batch_custom(yq, cbq, crq, ytables, ctables, *,
+                         restart_interval=0):
+    """Entropy-code a batch with PER-IMAGE custom Huffman tables.
+
+    ytables/ctables: tuples of [N, ...] flat table arrays (leading batch
+    axis).  Emissions are vmapped over images; the pack + concat run once
+    over the flattened block axis (the Pallas kernel stays un-vmapped).
+    """
+    N, nm6_y, _ = yq.shape
+    nm = cbq.shape[1]
+    ems = []
+    for q, chroma, tabs, bpm in ((yq, False, ytables, 4),
+                                 (cbq, True, ctables, 1),
+                                 (crq, True, ctables, 1)):
+        pred = _batch_pred(q, bpm, restart_interval)
+        hi, lo, nb = jax.vmap(
+            lambda qq, pp, *tt: E.block_emissions(qq, pp, chroma, tables=tt)
+        )(q, pred, *tabs)
+        ems.append((hi, lo, nb))
+    hi, lo, nb = (
+        jnp.concatenate(
+            [ems[0][j].reshape(N, nm, 4, 64), ems[1][j].reshape(N, nm, 1, 64),
+             ems[2][j].reshape(N, nm, 1, 64)], axis=2
+        ).reshape(N * nm * 6, 64)
+        for j in range(3)
+    )
+    words, bits = E.pack_block_words(hi, lo, nb)
+    W = words.shape[-1]
+    words = words.reshape(N, nm * 6, W)
+    bits = bits.reshape(N, nm * 6)
+    return _concat_batch_combined(words, bits, restart_interval), words, bits
 
 
 def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
                           precision: str = "fast", rounded: bool = False,
                           transport: str | None = None,
+                          quality: int | None = None,
+                          restart_interval: int = 0,
                           optimize: bool = False):
     """Asynchronously dispatch a uniform-batch encode (upload + device work).
 
@@ -413,54 +478,87 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
     Default ycc420: identical streams in exact mode; in fast mode it is the
     float64 color conversion (closer to the reference than float32).
 
-    optimize: one optimal Huffman table set SHARED by the whole batch
-    (one extra tiny histogram fetch; the per-batch tables are near-optimal
-    per image for homogeneous batches).  Implies ycc420 transport."""
+    quality / restart_interval / optimize: the same extensions as encode()
+    (docs/PARITY.md matrix).  optimize derives PER-IMAGE optimal Huffman
+    tables (one [N,4,256] histogram fetch, vmapped pass-2 emissions);
+    implies ycc420 transport."""
     n, h, w = rgbs.shape[:3]
     if h % 16 or w % 16:
         raise ValueError("encode_batch needs multiple-of-16 dims")
+    if restart_interval < 0:
+        raise ValueError(
+            f"restart_interval must be >= 0, got {restart_interval}")
+    _warm_pallas_if_needed()
+    ri = restart_interval
     if transport is None:
         transport = "ycc420"
     if optimize:
         y, cb, cr = host_rgb_to_ycc420(rgbs)
         yq, cbq, crq = _quantize_batch_ycc(
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-            gray=gray, precision=precision, rounded=rounded,
+            gray=gray, precision=precision, rounded=rounded, quality=quality,
         )
-        hists = np.asarray(_symbol_histograms_batch(yq, cbq, crq))
-        ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
-        cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
+        hists = np.asarray(_symbol_histograms_batch(yq, cbq, crq,
+                                                    restart_interval=ri))
+        yflats, cflats, huffs = [], [], []
+        for i in range(n):
+            ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(
+                hists[i, 0], hists[i, 1])
+            cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(
+                hists[i, 2], hists[i, 3])
+            yflats.append(yflat)
+            cflats.append(cflat)
+            huffs.append((ydc_bv, cdc_bv, yac_bv, cac_bv))
+        ytables = tuple(jnp.asarray(np.stack([f[k] for f in yflats]))
+                        for k in range(4))
+        ctables = tuple(jnp.asarray(np.stack([f[k] for f in cflats]))
+                        for k in range(4))
         combined, words, bits = _encode_batch_custom(
-            yq, cbq, crq, tuple(jnp.asarray(a) for a in yflat),
-            tuple(jnp.asarray(a) for a in cflat),
-        )
-        huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
-        return (combined, words, bits, n, h, w, gray, huff)
+            yq, cbq, crq, ytables, ctables, restart_interval=ri)
+        return (combined, words, bits, n, h, w, gray, huffs, ri, quality)
     if transport == "ycc420":
         y, cb, cr = host_rgb_to_ycc420(rgbs)
         combined, words, bits = _encode_batch_blocks_ycc(
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
             gray=gray, precision=precision, rounded=rounded,
+            quality=quality, restart_interval=ri,
         )
     else:
         combined, words, bits = _encode_batch_blocks(
             jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
             jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
-            rounded=rounded,
+            rounded=rounded, quality=quality, restart_interval=ri,
         )
-    return (combined, words, bits, n, h, w, gray, None)
+    return (combined, words, bits, n, h, w, gray, None, ri, quality)
 
 
 def encode_batch_finish(ticket) -> list[bytes]:
     """Block on a dispatched batch encode and assemble the JFIF streams."""
-    combined, words, bits, n, h, w, gray, huff = ticket
+    combined, words, bits, n, h, w, gray, huff, ri, quality = ticket
     combined = np.asarray(combined)  # ONE fetch for the whole batch
-    maxw = combined.shape[1] - 1
-    header = writer.write_header(make_encode_props(w, h, gray=gray),
-                                 huff_tables=huff)
+    geo = EncodeGeometry(width=w, height=h)
+    S = -(-geo.num_mcus // ri) if ri else 0
+    maxw = combined.shape[1] - 1 - S
+    qt = T.scale_quant_tables(quality) if quality is not None else None
+    props = make_encode_props(w, h, gray=gray)
+    if not isinstance(huff, list):
+        header = writer.write_header(props, restart_interval=ri,
+                                     quant_tables=qt, huff_tables=huff)
     out = []
     for i in range(n):
+        if isinstance(huff, list):  # per-image optimal tables
+            header = writer.write_header(props, restart_interval=ri,
+                                         quant_tables=qt,
+                                         huff_tables=huff[i])
         total = int(combined[i, 0])
+        if ri:
+            if total > 32 * maxw:
+                raise OverflowError("batch restart stream budget overflow")
+            seg_bits = combined[i, 1 : 1 + S]
+            raw = combined[i, 1 + S :].astype(">u4").tobytes()
+            out.append(header + _assemble_restart_segments(raw, seg_bits)
+                       + writer.EOI)
+            continue
         if total <= 32 * maxw:
             packed = _stream_to_bytes(combined[i, 1:], total)
         else:  # overflow: host splice for this image only
@@ -471,16 +569,20 @@ def encode_batch_finish(ticket) -> list[bytes]:
 
 def encode_batch(rgbs: np.ndarray, *, gray: bool = False,
                  precision: str = "fast", rounded: bool = False,
-                 transport: str | None = None) -> list[bytes]:
+                 transport: str | None = None, quality: int | None = None,
+                 restart_interval: int = 0,
+                 optimize: bool = False) -> list[bytes]:
     """Encode a uniform batch [N, H, W, 3] uint8 -> list of JFIF streams.
 
     H, W must be multiples of 16 (use encode() per image otherwise; batched
     mixed sizes go through bucketing in jpezy_tpu.runtime.batch).
-    transport: see encode_batch_dispatch.
+    transport / quality / restart_interval / optimize: see
+    encode_batch_dispatch.
     """
     return encode_batch_finish(encode_batch_dispatch(
         rgbs, gray=gray, precision=precision, rounded=rounded,
-        transport=transport))
+        transport=transport, quality=quality,
+        restart_interval=restart_interval, optimize=optimize))
 
 
 # ---------------------------------------------------------------------------

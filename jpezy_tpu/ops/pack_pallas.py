@@ -45,6 +45,29 @@ def _pack_kernel(w0_ref, ww0_ref, ww1_ref, ww2_ref, out_ref):
     )
 
 
+_warmed = False
+
+
+def warm_pack_kernel() -> bool:
+    """One-time Mosaic warmup of the pack kernel (idempotent, ~5-15s).
+
+    Measured on the tunneled v5e (scripts/firstrun_bisect.py, round 2): an
+    XLA program EMBEDDING this Pallas kernel pays a 140-400s deferred
+    kernel compile at its first execution, but the Mosaic compile cache is
+    shared -- running the kernel standalone once first drops the big
+    program's first execution to ~0.1s.  Callers on the encode path invoke
+    this before dispatching the first jitted program.
+    """
+    global _warmed
+    if _warmed:
+        return False
+    _warmed = True
+    z = jnp.zeros((TILE_B, EMISSIONS), jnp.int32)
+    zu = jnp.zeros((TILE_B, EMISSIONS), jnp.uint32)
+    jax.block_until_ready(pack_words_pallas(z, zu, zu, zu))
+    return True
+
+
 @jax.jit
 def pack_words_pallas(w0, ww0, ww1, ww2):
     """[B, 64] window-aligned emissions -> [B, 64] packed words (uint32).

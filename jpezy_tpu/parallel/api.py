@@ -1,41 +1,50 @@
 """High-level sharded codec entry points.
 
 encode_sharded: image batch + ('data','tile') mesh -> JFIF streams, with the
-DC-carry collective across tile shards and per-shard device packing; the
-host splices shard streams (byte-granular).
+DC-carry collective across tile shards and ON-DEVICE per-shard stream
+concat; the host splices the per-shard bitstrings (byte-granular).
+
+decode_sharded: same-geometry JPEGs -> pixels, host entropy frontend +
+ONE fused shard_map over all components with a single device fetch
+(the referent is the full decode pipeline, jpezy_decoder.hpp:76-134).
 
 For pod slices: build the mesh with 'data' across hosts (DCN) and 'tile'
 across the ICI ring; see jpezy_tpu.parallel.distributed for multi-host init.
+
+All encode extensions (quality, restart_interval, optimize) are supported
+here with the same semantics as codec.jax_codec.encode (docs/PARITY.md);
+`optimize` derives one optimal Huffman table set for the whole batch.
 """
 from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..bitstream import writer
 from ..bitstream.splice import splice_blocks
+from ..codec.jax_codec import _assemble_restart_segments
+from ..core import tables as T
+from ..core.geometry import EncodeGeometry
 from ..core.props import make_encode_props
 from . import sharded
 
 
 def decode_sharded(mesh: Mesh, streams: list[bytes], *,
+                   gray: bool = False,
                    precision: str = "fast") -> np.ndarray:
     """Decode same-geometry JPEGs with the device stages sharded over the
     mesh (images x MCU-row tiles) -> [N, H, W, 3] uint8.
 
     The entropy frontend runs on the host (see docs/DESIGN.md section 4);
-    coefficient blocks shard over 'tile' (contiguous MCU-row ranges), the
-    dequant/IDCT/upsample stages run shard-local with no collectives, and
-    the color conversion happens after a gather of the luma-resolution
-    planes.
+    coefficient blocks shard over 'tile' (contiguous MCU-row ranges), and
+    ONE fused shard_map runs dequant/IDCT/upsample/color for every
+    component with no collectives and a single uint8 fetch.
     """
-    import jax.numpy as jnp
-
     from ..bitstream.reader import parse
     from ..codec import jax_codec
     from ..core.geometry import ComponentGeometry
-    from . import sharded as _sh
 
     pjs = [parse(s) for s in streams]
     p0 = pjs[0]
@@ -49,54 +58,122 @@ def decode_sharded(mesh: Mesh, streams: list[bytes], *,
     level = 128 if p0.props.sample_precision == 8 else 2048
     per_image = [jax_codec.decode_entropy_host(pj) for pj in pjs]
 
-    planes = []
-    for c, fc in enumerate(p0.frame_components):
-        blocks = np.stack([pi[c] for pi in per_image])
-        fn = _sh.make_sharded_decode_component(
-            mesh, v=fc.V, h=fc.H, dup_y=geos[c].dup_y, dup_x=geos[c].dup_x,
-            mcus_x=mcus_x, level=level, precision=precision,
-        )
-        arr = jax.device_put(
-            blocks,
-            jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec("data", "tile", None)
-            ),
-        )
-        planes.append(np.asarray(fn(arr, jnp.asarray(p0.quant[fc.Tq]))))
-
+    ncomp = len(p0.frame_components)
+    comps = tuple(
+        (fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(p0.frame_components)
+    )
+    fn = sharded.make_sharded_decode(
+        mesh, comps=comps, mcus_x=mcus_x, level=level,
+        gray=gray or ncomp == 1, precision=precision,
+    )
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "tile", None))
+    coeffs = [
+        jax.device_put(np.stack([pi[c] for pi in per_image]), spec)
+        for c in range(ncomp)
+    ]
+    qtables = [jnp.asarray(p0.quant[fc.Tq]) for fc in p0.frame_components]
+    out = np.asarray(fn(*coeffs, *qtables))        # ONE fetch for the batch
     H, W = p0.props.height, p0.props.width
-    from ..ops import colorspace as C
-    import jax.numpy as jnp2
-
-    y = jnp2.asarray(planes[0][:, :H, :W])
-    if len(planes) == 1:
-        g = np.asarray(C.clamp_gray(y))
-        return np.repeat(g[..., None], 3, axis=-1)
-    cb = jnp2.asarray(planes[1][:, :H, :W])
-    cr = jnp2.asarray(planes[2][:, :H, :W])
-    r, g, b = C.ycc_to_rgb(y, cb, cr)
-    return np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    out = out[:, :H, :W]
+    if out.shape[-1] == 1:
+        out = np.repeat(out, 3, axis=-1)
+    return out
 
 
 def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,
-                   precision: str = "fast", rounded: bool = False) -> list[bytes]:
+                   precision: str = "fast", rounded: bool = False,
+                   quality: int | None = None, restart_interval: int = 0,
+                   optimize: bool = False) -> list[bytes]:
     """Encode [N, H, W, 3] uint8 over the mesh -> list of JFIF streams.
 
     Constraints: N % data_axis == 0, H % 16 == 0, W % 16 == 0,
-    (H/16) % tile_axis == 0.
+    (H/16) % tile_axis == 0; with restart_interval, MCUs-per-shard must be
+    a multiple of restart_interval (shard boundaries on segment boundaries).
+
+    quality / restart_interval / optimize: same extensions as
+    codec.jax_codec.encode; optimize derives ONE optimal Huffman table set
+    shared by the whole batch (near-optimal for homogeneous batches; use
+    encode(..., optimize=True) for strictly per-image tables).
     """
     n, h, w = batch_rgb.shape[:3]
-    fn = sharded.make_sharded_encode(
-        mesh, gray=gray, precision=precision, rounded=rounded
-    )
-    r = sharded.shard_batch(mesh, batch_rgb[..., 0])
-    g = sharded.shard_batch(mesh, batch_rgb[..., 1])
-    b = sharded.shard_batch(mesh, batch_rgb[..., 2])
-    words, bits = fn(r, g, b)
-    words, bits = np.asarray(words), np.asarray(bits)
-    header = writer.write_header(make_encode_props(w, h, gray=gray))
+    if restart_interval < 0:
+        raise ValueError(
+            f"restart_interval must be >= 0, got {restart_interval}")
+    if sharded._mesh_use_pallas(mesh):
+        from ..codec.jax_codec import _warm_pallas_if_needed
+
+        _warm_pallas_if_needed()
+    geo = EncodeGeometry(width=w, height=h)
+    tile = mesh.shape["tile"]
+    mcus_per_shard = geo.num_mcus // tile
+    ri = restart_interval
+    if ri and mcus_per_shard % ri:
+        raise ValueError(
+            f"restart_interval {ri} must divide MCUs per tile shard "
+            f"({mcus_per_shard}) so segments align with shard boundaries")
+
+    r = sharded.shard_batch(mesh, np.ascontiguousarray(batch_rgb[..., 0]))
+    g = sharded.shard_batch(mesh, np.ascontiguousarray(batch_rgb[..., 1]))
+    b = sharded.shard_batch(mesh, np.ascontiguousarray(batch_rgb[..., 2]))
+
+    huff = None
+    if optimize:
+        qfn = sharded.make_sharded_quantize(
+            mesh, gray=gray, precision=precision, rounded=rounded,
+            quality=quality, restart_interval=ri,
+        )
+        yq, cbq, crq, hists = qfn(r, g, b)
+        hists = np.asarray(hists)
+        ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
+        cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
+        huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
+        efn = sharded.make_sharded_emit_stream(
+            mesh, restart_interval=ri)
+        combined = efn(yq, cbq, crq,
+                       tuple(jnp.asarray(a) for a in yflat),
+                       tuple(jnp.asarray(a) for a in cflat))
+    else:
+        fn = sharded.make_sharded_encode_stream(
+            mesh, gray=gray, precision=precision, rounded=rounded,
+            quality=quality, restart_interval=ri,
+        )
+        combined = fn(r, g, b)
+    combined = np.asarray(combined)               # ONE compact fetch
+    ntile = combined.shape[1]
+    S_shard = mcus_per_shard // ri if ri else 0
+    maxw = combined.shape[2] - 1 - S_shard
+
+    qt = T.scale_quant_tables(quality) if quality is not None else None
+    header = writer.write_header(make_encode_props(w, h, gray=gray),
+                                 restart_interval=ri, quant_tables=qt,
+                                 huff_tables=huff)
     out = []
     for i in range(n):
-        packed, _ = splice_blocks(words[i], bits[i])
+        if ri:
+            # per-shard streams hold whole byte-aligned segments; chain
+            # them with globally cycling RSTn indices
+            seg_bits = np.concatenate(
+                [combined[i, t, 1 : 1 + S_shard] for t in range(ntile)])
+            raws = []
+            for t in range(ntile):
+                total = int(combined[i, t, 0])
+                stream = combined[i, t, 1 + S_shard :]
+                if total > 32 * maxw:
+                    raise OverflowError(
+                        "per-shard stream budget overflow; raise maxw_shard")
+                raws.append(stream.astype(">u4").tobytes()[: (total + 7) // 8])
+            out.append(header
+                       + _assemble_restart_segments(b"".join(raws), seg_bits)
+                       + writer.EOI)
+            continue
+        totals = combined[i, :, 0].astype(np.int64)
+        if np.any(totals > 32 * maxw):
+            raise OverflowError(
+                "per-shard stream budget overflow; raise maxw_shard")
+        # bit-granular splice of the tile shard streams (host, C++-backed)
+        packed, _ = splice_blocks(
+            np.ascontiguousarray(combined[i, :, 1 + S_shard :]), totals)
         out.append(writer.assemble(header, packed))
     return out

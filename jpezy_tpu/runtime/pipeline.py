@@ -35,16 +35,21 @@ from ..codec import jax_codec
 
 def encode_batches(batches: Iterable[np.ndarray], *, lookahead: int = 1,
                    gray: bool = False, precision: str = "fast",
-                   rounded: bool = False) -> Iterator[list[bytes]]:
+                   rounded: bool = False, quality: int | None = None,
+                   restart_interval: int = 0,
+                   optimize: bool = False) -> Iterator[list[bytes]]:
     """Encode an iterable of uniform [N, H, W, 3] u8 batches, pipelined.
 
     Yields one list[bytes] of JFIF streams per input batch, in order, with
-    up to `lookahead + 1` batches in flight on the device.
+    up to `lookahead + 1` batches in flight on the device.  Extension
+    kwargs as encode_batch (docs/PARITY.md matrix).
     """
     pending: collections.deque = collections.deque()
     for rgbs in batches:
         pending.append(jax_codec.encode_batch_dispatch(
-            rgbs, gray=gray, precision=precision, rounded=rounded))
+            rgbs, gray=gray, precision=precision, rounded=rounded,
+            quality=quality, restart_interval=restart_interval,
+            optimize=optimize))
         if len(pending) > lookahead:
             yield jax_codec.encode_batch_finish(pending.popleft())
     while pending:
