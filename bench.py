@@ -103,9 +103,41 @@ def measure(platform: str) -> dict:
     v_serial = batch_n * mp / (t_benc + t_bdec)
     log(f"round-trip (batched, serial): {v_serial:.2f} MP/s")
 
+    # ---- stage attribution + device-only throughput (VERDICT r1 #1):
+    # split one batch encode into host color / upload / device / fetch and
+    # report MFU for the DCT matmuls from the static cost model.
+    from jpezy_tpu.codec.jax_codec import (
+        host_rgb_to_ycc420, _encode_batch_blocks_ycc)
+    from jpezy_tpu.utils.profiling import encode_flops
+    import jax.numpy as jnp
+
+    imgs0 = batches[0]
+    t0 = time.time(); y, cb, cr = host_rgb_to_ycc420(imgs0)
+    t_color = time.time() - t0
+    t0 = time.time()
+    dev = jax.block_until_ready(
+        (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)))
+    t_up = time.time() - t0
+    out0 = _encode_batch_blocks_ycc(*dev)
+    jax.block_until_ready(out0)                         # compile/warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(_encode_batch_blocks_ycc(*dev))
+        ts.append(time.time() - t0)
+    t_dev = min(ts)
+    t0 = time.time(); _ = np.asarray(out0[0]); t_fetch = time.time() - t0
+    fl = encode_flops(w, h)
+    mfu = batch_n * fl["dct_flops"] / t_dev / 394e12    # v5e bf16 peak
+    log(f"encode attribution x{batch_n}: host color {t_color*1e3:.0f}ms, "
+        f"upload {t_up*1e3:.0f}ms ({(y.nbytes+cb.nbytes+cr.nbytes)/2**20:.1f}"
+        f" MiB), device {t_dev*1e3:.0f}ms "
+        f"({batch_n*mp/t_dev:.0f} MP/s device-only, DCT MFU {mfu*100:.2f}%), "
+        f"fetch {t_fetch*1e3:.0f}ms ({np.asarray(out0[0]).nbytes/2**20:.1f} MiB)")
+
     # ---- pipelined steady state (overlap uploads/downloads/compute):
     # every image is encoded to complete JFIF bytes on host and re-decoded
-    # from those bytes; batches are kept in flight with lookahead=1.
+    # from those bytes; batches are kept in flight.
     from jpezy_tpu.runtime import pipeline
 
     # The tunnel's bandwidth is shared and bursty (occasional multi-second
@@ -114,17 +146,17 @@ def measure(platform: str) -> dict:
     for _ in pipeline.roundtrip_batches(iter(batches[:2])):
         pass                                        # warm the pipeline path
     value = 0.0
-    for rep in range(3):
+    for rep, la in enumerate((1, 2, 2)):
         t0 = time.time()
         got = 0
         for streams, pix in pipeline.roundtrip_batches(
-                (batches[i % 2] for i in range(n_meas))):
+                (batches[i % 2] for i in range(n_meas)), lookahead=la):
             got += len(streams)
             assert pix.shape[1:] == (h, w, 3)
         t_pipe = time.time() - t0
         v = got * mp / t_pipe
-        log(f"round-trip (pipelined x{n_meas} batches, pass {rep}): "
-            f"{t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
+        log(f"round-trip (pipelined x{n_meas} batches, lookahead={la}, "
+            f"pass {rep}): {t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
         value = max(value, v)
     v_pipelined = value
     # the tunnel's burstiness sometimes makes the serial-batched config the

@@ -308,11 +308,22 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     return writer.assemble(header, packed)
 
 
+def stream_budget_words_batch(nblocks: int) -> int:
+    """Batched-path stream budget: 2 words/block = 1 bit/pixel equivalent.
+
+    Annex-K 4:2:0 streams run ~0.3-0.7 bits/px (lena 512x512 = 18,010 bytes
+    = 0.55 b/px), so this is ~2x headroom while keeping the per-batch fetch
+    small (the tunnel moves ~30 MB/s; the fetch is on the critical path).
+    Overflowing images fall back to a per-image words fetch in
+    encode_batch_finish."""
+    return max(4096, nblocks * 2)
+
+
 def _concat_batch_combined(words, bits, restart_interval: int):
     """Batched device splice -> `combined` [N, R + maxw] uint32 (R = 1
     total-bits word, plus per-segment bit counts with restarts)."""
     N, Bn, W = words.shape
-    maxw = stream_budget_words(Bn)
+    maxw = stream_budget_words_batch(Bn)
     if restart_interval:
         segb = 6 * restart_interval
         stream, total, seg_bits = jax.vmap(
@@ -661,6 +672,20 @@ def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
     return ncores >= 4 and n_mcus >= 4096
 
 
+def _decode_entropy_batch(pjs: list[ParsedJpeg]) -> list[list[np.ndarray]]:
+    """Entropy-decode a batch of parsed streams, thread-parallel across
+    images (the C++ frontend releases the GIL during the ctypes call, so
+    N images decode on N cores -- the host analog of the data axis)."""
+    if len(pjs) <= 1:
+        return [decode_entropy_host(pj) for pj in pjs]
+    import concurrent.futures as cf
+    import os
+
+    workers = min(len(pjs), os.cpu_count() or 1)
+    with cf.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(decode_entropy_host, pjs))
+
+
 def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
     """Host entropy frontend: Huffman decode -> [B, 64] blocks/component.
 
@@ -832,7 +857,7 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
         except ImportError:
             pass  # no native runtime: fall through to rgb transport
 
-    per_image = [decode_entropy_host(pj) for pj in pjs]
+    per_image = _decode_entropy_batch(pjs)
     comp_blocks = tuple(
         jnp.asarray(np.stack([pi[c] for pi in per_image]))
         for c in range(ncomp)
@@ -902,15 +927,30 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
 
     native.get_lib()  # raise ImportError-family early if unavailable
     K = 10
-    per_image = [decode_entropy_host(pj) for pj in pjs]
     N = len(pjs)
+
+    # entropy decode + sparsify per image, thread-parallel (both stages are
+    # GIL-releasing C++ calls; images are independent)
+    def _front(pj):
+        blocks = decode_entropy_host(pj)
+        return blocks, [native.sparsify(b, K) for b in blocks]
+
+    if N > 1:
+        import concurrent.futures as cf
+        import os as _os
+
+        with cf.ThreadPoolExecutor(min(N, _os.cpu_count() or 1)) as ex:
+            fronts = list(ex.map(_front, pjs))
+    else:
+        fronts = [_front(pjs[0])]
+
     sparse = []
     ovf = []
     for c in range(3):
         mls, mhs, vvs, oidx_all, orows_all = [], [], [], [], []
-        Bn = per_image[0][c].shape[0]
-        for i, pi in enumerate(per_image):
-            ml, mh, vv, oidx, orows = native.sparsify(pi[c], K)
+        Bn = fronts[0][0][c].shape[0]
+        for i, (_, sp) in enumerate(fronts):
+            ml, mh, vv, oidx, orows = sp[c]
             mls.append(ml); mhs.append(mh); vvs.append(vv)
             oidx_all.append(oidx + i * Bn)
             orows_all.append(orows)

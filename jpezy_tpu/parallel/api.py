@@ -56,7 +56,7 @@ def decode_sharded(mesh: Mesh, streams: list[bytes], *,
     ]
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
     level = 128 if p0.props.sample_precision == 8 else 2048
-    per_image = [jax_codec.decode_entropy_host(pj) for pj in pjs]
+    per_image = jax_codec._decode_entropy_batch(pjs)
 
     ncomp = len(p0.frame_components)
     comps = tuple(

@@ -75,7 +75,7 @@ def main():
     combined = out[0]
     t_fetch, _ = bucket(lambda: np.asarray(combined))
 
-    ticket = (combined, out[1], out[2], n, h, w, False, None)
+    ticket = (combined, out[1], out[2], n, h, w, False, None, 0, None)
     t_asm, _ = bucket(lambda: JC.encode_batch_finish(ticket))
     t_asm -= t_fetch  # finish includes the fetch
 

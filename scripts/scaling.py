@@ -7,10 +7,16 @@ cost); on a pod slice it measures true scaling (run one process per host
 with jpezy_tpu.parallel.distributed.initialize first).
 
 Usage: python scripts/scaling.py [--devices N] [--batch N] [--size HxW]
+       [--cpu] [--json OUT.json]
+
+The driver-facing artifact (SCALING_r0N.json) is produced each round with:
+    python scripts/scaling.py --cpu --devices 8 --batch 8 --size 1024x512 \
+        --json SCALING_r0N.json
 """
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -23,6 +29,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", default="512x512")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     import os
@@ -49,25 +57,31 @@ def main() -> int:
     batch = np.stack([make_test_image(h, w, seed=i) for i in range(args.batch)])
 
     base = None
+    results = []
     mesh_sizes = []
     n = 1
     while n <= ndev:
         mesh_sizes.append(n)
         n *= 2
+    configs = []
     for n in mesh_sizes:
-        # favor tile sharding within an image; data across if batch allows
-        tile = n
-        data = 1
-        if (h // 16) % tile != 0:
-            data = min(n, args.batch)
-            tile = n // data
+        # tile sharding within an image when the MCU rows divide evenly
+        if (h // 16) % n == 0:
+            configs.append((n, 1, n))
+        # data sharding across images when the batch divides evenly
+        d = min(n, args.batch)
+        if n > 1 and d * (n // d) == n and args.batch % d == 0 and n // d == 1:
+            configs.append((n, d, 1))
+    for n, data, tile in configs:
         try:
             mesh = make_mesh(data=data, tile=tile)
             streams = encode_sharded(mesh, batch)  # compile
-            t0 = time.time()
-            for _ in range(3):
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.time()
                 streams = encode_sharded(mesh, batch)
-            dt = (time.time() - t0) / 3
+                ts.append(time.time() - t0)
+            dt = min(ts)
         except Exception as e:  # mesh shape not applicable
             print(f"mesh {data}x{tile}: skipped ({e})")
             continue
@@ -77,7 +91,23 @@ def main() -> int:
         eff = ips / (base * n) * 100
         print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
               f"(x{ips/base:4.1f}, efficiency {eff:5.1f}%)")
+        results.append({
+            "devices": n, "data": data, "tile": tile,
+            "images_per_s": round(ips, 2), "speedup": round(ips / base, 3),
+            "efficiency_pct": round(eff, 1),
+        })
         assert len(streams) == args.batch
+    if args.json:
+        payload = {
+            "backend": jax.default_backend(),
+            "size": args.size, "batch": args.batch,
+            "note": ("CPU virtual mesh: measures orchestration + collective "
+                     "overhead, not TPU compute scaling"),
+            "results": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
     return 0
 
 

@@ -1,0 +1,110 @@
+"""True multi-process jax.distributed test (VERDICT r1 #5/weak-8).
+
+Two OS processes, each with 2 virtual CPU devices, form one 4-device
+(data=2 x tile=2) global mesh via jax.distributed.initialize on localhost.
+Each process feeds its process-local images with
+parallel.distributed.make_global_batch (no image bytes cross the
+"DCN" / process boundary) and runs the sharded encode; each process then
+splices ITS OWN addressable output shards and asserts byte equality with
+the single-device encode() of the same images.
+
+This exercises the full multi-host contract (coordination service, global
+mesh over non-addressable devices, process-local data feeding, cross-shard
+DC-carry ppermute) -- everything short of real DCN hardware.
+"""
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+import numpy as np
+sys.path.insert(0, os.environ["JPEZY_REPO"])
+sys.path.insert(0, os.path.join(os.environ["JPEZY_REPO"], "tests"))
+from imagegen import make_test_image
+from jpezy_tpu.parallel import sharded
+from jpezy_tpu.parallel.distributed import make_global_batch, make_global_mesh
+
+mesh = make_global_mesh(data=2, tile=2)  # data spans the two processes
+local = np.stack([make_test_image(64, 48, seed=100 + pid)])  # 1 image/process
+
+r = make_global_batch(mesh, np.ascontiguousarray(local[..., 0]))
+g = make_global_batch(mesh, np.ascontiguousarray(local[..., 1]))
+b = make_global_batch(mesh, np.ascontiguousarray(local[..., 2]))
+
+fn = sharded.make_sharded_encode_stream(mesh)
+combined = fn(r, g, b)
+jax.block_until_ready(combined)
+
+# splice this process's own (addressable) shards: rows of the 'data' axis
+shards = {s.index[1].start or 0: {} for s in combined.addressable_shards}
+for s in combined.addressable_shards:
+    row = s.index[0].start or 0
+    tile0 = s.index[1].start or 0
+    shards.setdefault(row, {})[tile0] = np.asarray(s.data)[0, 0]
+
+from jpezy_tpu.bitstream.splice import splice_blocks
+from jpezy_tpu.bitstream import writer
+from jpezy_tpu.core.props import make_encode_props
+from jpezy_tpu.codec import jax_codec
+
+rows = sorted({s.index[0].start or 0 for s in combined.addressable_shards})
+assert len(rows) == 1, f"expected 1 local data row, got {rows}"
+row = rows[0]
+parts = [shards[row][t] for t in sorted(shards[row])]
+words = np.stack([p[1:] for p in parts])
+totals = np.array([int(p[0]) for p in parts], np.int64)
+packed, _ = splice_blocks(words, totals)
+stream = writer.assemble(
+    writer.write_header(make_encode_props(48, 64)), packed)
+
+ref = jax_codec.encode(local[0, ..., 0], local[0, ..., 1], local[0, ..., 2])
+assert stream == ref, "multi-process sharded stream != single-device encode"
+print(f"proc {pid}: OK ({len(stream)} bytes)")
+"""
+
+
+def test_two_process_distributed_encode(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    env = dict(os.environ, JPEZY_REPO=repo)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(port), str(pid)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert f"proc {pid}: OK" in out
