@@ -19,8 +19,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _CHILD = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
