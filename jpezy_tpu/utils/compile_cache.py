@@ -1,8 +1,17 @@
 """Persistent XLA compilation cache setup.
 
-Compiles on the tunneled TPU go through a remote-compile service and cost
-60-130s for the fused codec graphs; the persistent cache makes that a
-once-per-machine cost.  Call enable() before the first jit execution.
+Round-2 finding (scripts/cache_probe.py): the cache WORKS against the
+tunneled backend -- a cache hit turns the fused encode graph's 6-9 s XLA
+compile into ~2 s.  Round 1 blamed a "deserialization hang"; the hang was
+actually the *deferred Mosaic compile* of the embedded Pallas kernel at
+first execution (~140-410 s), which is independent of this cache and is
+solved by ops.pack_pallas.warm_pack_kernel (the encode entry points call
+it).  With both in place a fresh process reaches its first encoded byte
+in ~15-25 s.
+
+Call enable() before the first jit execution.  Opt-in via
+JPEZY_TPU_COMPILE_CACHE=1 (cache writes add a little latency per new
+program, so benches that measure cold compiles keep it off).
 """
 from __future__ import annotations
 
@@ -10,10 +19,6 @@ import os
 
 
 def enable(cache_dir: str | None = None) -> None:
-    """No-op on the axon-tunneled backend: persistent-cache deserialization
-    hangs against the remote PJRT client (observed: executable loads never
-    complete).  Kept as the hook point for directly-attached TPU hosts,
-    enabled via JPEZY_TPU_COMPILE_CACHE=1."""
     if os.environ.get("JPEZY_TPU_COMPILE_CACHE") != "1":
         return
     import jax
