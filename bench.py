@@ -184,9 +184,14 @@ def measure(platform: str) -> dict:
         from jpezy_tpu.bitstream.reader import parse as _parse
         from jpezy_tpu.runtime import native as _nat
 
-        big = make_test_image(2048, 2048, seed=99)
+        # dense content (noise) so the stream is entropy-heavy -- a smooth
+        # image decodes serially in single-digit ms and there is nothing
+        # to parallelize
+        rng = np.random.default_rng(99)
+        big = rng.integers(0, 256, (2048, 2048, 3), np.uint8)
         bstream = jax_codec.encode(big[..., 0], big[..., 1], big[..., 2])
         pj = _parse(bstream)
+        log(f"  (noise stream: {len(bstream)} bytes)")
         n_mcus = (2048 // 16) ** 2
         t0 = time.time()
         ser = _nat.entropy_decode(pj, n_mcus)

@@ -198,6 +198,20 @@ def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
     return _concat_combined(words, bits, restart_interval), words, bits
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
+def _encode_to_stream_stacked(rgb, *, ph: int, pw: int, gray: bool,
+                              precision: str = "fast", rounded: bool = False,
+                              quality: int | None = None,
+                              restart_interval: int = 0):
+    """encode_to_stream on a stacked [3, H, W] uint8 array: ONE upload
+    instead of three (each transfer pays fixed tunnel overhead)."""
+    return encode_to_stream.__wrapped__(
+        rgb[0], rgb[1], rgb[2], ph=ph, pw=pw, gray=gray,
+        precision=precision, rounded=rounded, quality=quality,
+        restart_interval=restart_interval)
+
+
 def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
     nbytes = (total + 7) // 8
     raw = bytearray(stream.astype(">u4").tobytes()[:nbytes])
@@ -274,8 +288,8 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
         )
         huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
     else:
-        combined, words, bits = encode_to_stream(
-            jnp.asarray(r), jnp.asarray(g), jnp.asarray(b),
+        combined, words, bits = _encode_to_stream_stacked(
+            jnp.asarray(np.stack([r, g, b])),
             ph=geo.padded_height, pw=geo.padded_width, gray=gray,
             precision=precision, rounded=rounded, quality=quality,
             restart_interval=ri,
@@ -664,6 +678,22 @@ def _decode_fused(comp_blocks, qtables, *, geom, level, gray, precision):
     return jnp.stack([r, g, b], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("geom", "level", "gray",
+                                              "precision", "sizes"))
+def _decode_fused_packed(coeff_all, qtables, *, geom, level, gray,
+                         precision, sizes):
+    """_decode_fused on one concatenated [sum(B_i), 64] coefficient array
+    (ONE upload instead of per-component transfers; static `sizes` split)."""
+    comp_blocks = []
+    off = 0
+    for n in sizes:
+        comp_blocks.append(coeff_all[off : off + n])
+        off += n
+    return _decode_fused.__wrapped__(
+        tuple(comp_blocks), qtables, geom=geom, level=level, gray=gray,
+        precision=precision)
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def planes_to_rgb(y, cb, cr, *, precision="fast"):
     return C.ycc_to_rgb(y, cb, cr, _dtype(precision))
@@ -690,7 +720,11 @@ def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
     if pj.restart_interval:
         return False  # restart segments already decode thread-parallel
     ncores = os.cpu_count() or 1
-    return ncores >= 4 and n_mcus >= 4096
+    entropy_bytes = len(pj.data) - pj.entropy_start
+    # the serial LUT decoder runs ~300-500 MB/s, so below ~2 MB of entropy
+    # data the whole decode is a handful of ms and the speculative scan's
+    # hypothesis redundancy + thread spawns cost more than they save
+    return ncores >= 4 and n_mcus >= 4096 and entropy_bytes >= (2 << 20)
 
 
 def _decode_entropy_batch(pjs: list[ParsedJpeg]) -> list[list[np.ndarray]]:
@@ -1059,10 +1093,14 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
         for i, fc in enumerate(pj.frame_components)
     )
-    out = _decode_fused(
-        tuple(jnp.asarray(cb) for cb in comp_blocks),
+    sizes = tuple(int(cb.shape[0]) for cb in comp_blocks)
+    dt0 = np.result_type(*[cb.dtype for cb in comp_blocks])
+    out = _decode_fused_packed(
+        jnp.asarray(np.concatenate(
+            [np.asarray(cb, dt0) for cb in comp_blocks])),
         tuple(jnp.asarray(pj.quant[fc.Tq]) for fc in pj.frame_components),
         geom=geom, level=level, gray=gray or ncomp == 1, precision=precision,
+        sizes=sizes,
     )
     out = np.asarray(out)  # ONE fetch
     H, W = props.height, props.width
