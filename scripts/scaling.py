@@ -1,10 +1,24 @@
 """Images/s scaling measurement across mesh sizes (BASELINE config 5).
 
 Runs the sharded encode pipeline at mesh sizes 1, 2, 4, ... over the
-available devices and reports images/s + scaling efficiency.  On the CPU
-backend this measures orchestration overhead (upper-bounds the collective
-cost); on a pod slice it measures true scaling (run one process per host
-with jpezy_tpu.parallel.distributed.initialize first).
+available devices.  Two regimes:
+
+* Real pod slice (one process per host via
+  jpezy_tpu.parallel.distributed.initialize): images/s grows with devices
+  and `efficiency_pct` is true strong-scaling efficiency.
+
+* CPU virtual mesh (--cpu): all N "devices" are threads on the SAME
+  physical cores, so total compute throughput CANNOT grow -- flat images/s
+  is the *expected best case*.  The meaningful measurements here are
+  (a) `overhead_pct`: extra wall time the sharded program adds over the
+      unsharded single-device run of the same total work (orchestration +
+      collectives + host splice of per-shard streams), and
+  (b) `projected_efficiency_pct`: strong-scaling efficiency projected for
+      real chips, where per-MCU compute divides perfectly (it is
+      embarrassingly parallel; the only cross-shard coupling is the DC
+      ppermute carry): eff = 1 / (1 + N * overhead / t_base).  This is
+      conservative: the measured overhead also contains the host splice,
+      which in the real multi-host deployment shards across hosts too.
 
 Usage: python scripts/scaling.py [--devices N] [--batch N] [--size HxW]
        [--cpu] [--json OUT.json]
@@ -56,7 +70,8 @@ def main() -> int:
     ndev = args.devices or len(jax.devices())
     batch = np.stack([make_test_image(h, w, seed=i) for i in range(args.batch)])
 
-    base = None
+    shared_cores = args.cpu or jax.default_backend() == "cpu"
+    t_base = None
     results = []
     mesh_sizes = []
     n = 1
@@ -72,37 +87,70 @@ def main() -> int:
         d = min(n, args.batch)
         if n > 1 and d * (n // d) == n and args.batch % d == 0 and n // d == 1:
             configs.append((n, d, 1))
-    for n, data, tile in configs:
+    # warm (compile) every config first, then measure round-robin so that
+    # slow periods of the shared machine hit all configs equally instead of
+    # biasing whichever config ran during them
+    meshes, times = {}, {}
+    for key in configs:
+        n, data, tile = key
         try:
             mesh = make_mesh(data=data, tile=tile)
-            streams = encode_sharded(mesh, batch)  # compile
-            ts = []
-            for _ in range(args.reps):
-                t0 = time.time()
-                streams = encode_sharded(mesh, batch)
-                ts.append(time.time() - t0)
-            dt = min(ts)
+            encode_sharded(mesh, batch)  # compile
+            meshes[key] = mesh
+            times[key] = []
         except Exception as e:  # mesh shape not applicable
             print(f"mesh {data}x{tile}: skipped ({e})")
-            continue
+    for _ in range(args.reps):
+        for key, mesh in meshes.items():
+            t0 = time.time()
+            streams = encode_sharded(mesh, batch)
+            times[key].append(time.time() - t0)
+            assert len(streams) == args.batch
+    for key in meshes:
+        n, data, tile = key
+        dt = min(times[key])
         ips = args.batch / dt
-        if base is None:
-            base = ips
-        eff = ips / (base * n) * 100
-        print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
-              f"(x{ips/base:4.1f}, efficiency {eff:5.1f}%)")
-        results.append({
+        if t_base is None:
+            t_base = dt
+        row = {
             "devices": n, "data": data, "tile": tile,
-            "images_per_s": round(ips, 2), "speedup": round(ips / base, 3),
-            "efficiency_pct": round(eff, 1),
-        })
-        assert len(streams) == args.batch
+            "images_per_s": round(ips, 2),
+            "speedup": round(t_base / dt, 3),
+        }
+        if shared_cores:
+            # same physical cores for every mesh size: measure the cost the
+            # sharded program ADDS, and project efficiency for real chips
+            # (see module docstring)
+            overhead = dt - t_base
+            proj = 100.0 / (1.0 + n * max(0.0, overhead) / t_base)
+            row["overhead_pct"] = round(overhead / t_base * 100, 1)
+            row["projected_efficiency_pct"] = round(proj, 1)
+            print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s, "
+                  f"sharding overhead {row['overhead_pct']:+6.1f}%, "
+                  f"projected multi-chip efficiency {proj:5.1f}%")
+        else:
+            eff = (t_base / dt) / n * 100
+            row["efficiency_pct"] = round(eff, 1)
+            print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
+                  f"(x{t_base/dt:4.1f}, efficiency {eff:5.1f}%)")
+        results.append(row)
     if args.json:
         payload = {
             "backend": jax.default_backend(),
             "size": args.size, "batch": args.batch,
-            "note": ("CPU virtual mesh: measures orchestration + collective "
-                     "overhead, not TPU compute scaling"),
+            "note": (
+                "CPU virtual mesh: all devices share the same physical "
+                "cores, so images/s cannot grow with mesh size; "
+                "overhead_pct is the extra wall time sharding adds for the "
+                "same total work, and projected_efficiency_pct = "
+                "1/(1 + N*overhead/t_base) projects strong-scaling "
+                "efficiency on real chips where the per-MCU compute "
+                "divides (the only cross-shard coupling is the DC-carry "
+                "ppermute). Conservative: the overhead term includes the "
+                "host splice, which also shards across hosts on a pod."
+                if shared_cores else
+                "real multi-device run: efficiency_pct is measured "
+                "strong-scaling efficiency"),
             "results": results,
         }
         with open(args.json, "w") as f:
