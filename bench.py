@@ -129,22 +129,30 @@ def measure(platform: str) -> dict:
     jax.block_until_ready(out0)                         # compile/warm
     # block_until_ready does not truly sync on the tunneled backend
     # (enqueue-only), so bracket K back-to-back executions with a 1-element
-    # fetch of the LAST output -- the fetch is a real sync point.
+    # fetch of the LAST output -- the fetch is a real sync point.  The
+    # tunnel is bursty, so take the best of 3 bracketed loops.
     K = 8
-    t0 = time.time()
-    for _ in range(K):
-        outk = _encode_batch_blocks_ycc(*dev)
-    _ = np.asarray(outk[0][0, :1])
-    t_loop = time.time() - t0
+    loops = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(K):
+            outk = _encode_batch_blocks_ycc(*dev)
+        _ = np.asarray(outk[0][0, :1])
+        loops.append(time.time() - t0)
     rtt = 0.025
-    t_dev = max(1e-4, (t_loop - rtt) / K)
+    t_dev = max(1e-4, (min(loops) - rtt) / K)
     t0 = time.time(); _ = np.asarray(out0[0]); t_fetch = time.time() - t0
     fl = encode_flops(w, h)
+    # JPEG is FLOPs-light (the whole DCT is ~50 MFLOP per 512x512 image),
+    # so MXU utilization is structurally tiny; the binding device roofline
+    # is HBM bandwidth, so report both.
     mfu = batch_n * fl["dct_flops"] / t_dev / 394e12    # v5e bf16 peak
+    hbm = batch_n * fl["hbm_bytes"] / t_dev / 819e9     # v5e HBM ~819 GB/s
     log(f"encode attribution x{batch_n}: host color {t_color*1e3:.0f}ms, "
         f"upload {t_up*1e3:.0f}ms ({(y.nbytes+cb.nbytes+cr.nbytes)/2**20:.1f}"
-        f" MiB), device {t_dev*1e3:.1f}ms/batch (sync-bracketed x{K}; "
-        f"{batch_n*mp/t_dev:.0f} MP/s device-only, DCT MFU {mfu*100:.2f}%), "
+        f" MiB), device {t_dev*1e3:.1f}ms/batch (sync-bracketed x{K} best/3; "
+        f"{batch_n*mp/t_dev:.0f} MP/s device-only, DCT MFU {mfu*100:.4f}%, "
+        f"HBM {hbm*100:.1f}% of peak), "
         f"fetch {t_fetch*1e3:.0f}ms ({np.asarray(out0[0]).nbytes/2**20:.1f} MiB)")
 
     # ---- pipelined steady state (overlap uploads/downloads/compute):
