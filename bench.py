@@ -185,6 +185,33 @@ def measure(platform: str) -> dict:
     # comparable across revisions (ADVICE r1)
     value = max(v_pipelined, v_serial)
 
+    # ---- link ceiling proof (VERDICT r1 #1): measure raw host<->device
+    # bandwidth with dedicated probes and derive the hard bound the link
+    # puts on any round-trip pipeline.  The round trip must move >=1.5 B/px
+    # up (int8 YCC 4:2:0 planes) and >=1.5 B/px down (same planes back);
+    # coefficient upload and word fetch are extra, so these bounds are
+    # optimistic for the pipeline.
+    probe = np.random.default_rng(1).integers(
+        0, 255, 8 << 20, dtype=np.uint8)
+    ups, downs = [], []
+    for _ in range(3):
+        t0 = time.time()
+        darr = jax.block_until_ready(jnp.asarray(probe))
+        ups.append(time.time() - t0)
+        t0 = time.time()
+        _ = np.asarray(darr)
+        downs.append(time.time() - t0)
+        del darr
+    up_bw = probe.nbytes / min(ups)
+    down_bw = probe.nbytes / min(downs)
+    bound_serial = 1.0 / (1.5e6 / up_bw + 1.5e6 / down_bw)
+    bound_duplex = 1.0 / max(1.5e6 / up_bw, 1.5e6 / down_bw)
+    log(f"link probe (8 MiB): upload {up_bw/2**20:.1f} MiB/s, fetch "
+        f"{down_bw/2**20:.1f} MiB/s -> round-trip ceiling "
+        f"{bound_serial:.1f} MP/s (half-duplex) .. {bound_duplex:.1f} MP/s "
+        f"(full overlap); pipelined achieved {v_pipelined:.2f} MP/s = "
+        f"{v_pipelined/bound_serial*100:.0f}% of the half-duplex bound")
+
     # ---- speculative parallel entropy decode speedup (host; SURVEY 2.7a).
     # A single large restart-free stream is the serial-chain worst case the
     # reference embodies (jpezy_decoder.hpp:583-642).

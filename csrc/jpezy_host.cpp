@@ -693,25 +693,41 @@ int64_t jz_decode_speculative(
     std::vector<std::vector<HypResult>> hyps(nchunks);
     for (auto& h : hyps) h.resize(S);
 
+    // A scan that dies (invalid code / run overflow) proves its start bit
+    // was not a block boundary under hypothesis h -- the true chain never
+    // errors.  Retry from the next bit offset: Huffman self-synchronization
+    // means a nearby offset survives and converges onto the true boundary
+    // lattice, which is exactly what the stitch needs.  Without the retry,
+    // most chunks never sync (a misaligned decode usually run-overflows
+    // within a few blocks) and the stitch degenerates to serial.
     auto scan_task = [&](int k, int h) {
         HypResult& res = hyps[k][h];
-        Bits2 br{data, nbytes, (int64_t)k * chunk_bytes * 8};
+        const int64_t start0 = (int64_t)k * chunk_bytes * 8;
         const int64_t end_bit =
             k + 1 < nchunks ? (int64_t)(k + 1) * chunk_bytes * 8 : total_bits;
-        int phase = h;
         int16_t scratch[64];
-        while (true) {
-            res.starts.push_back(br.bit);
-            if (br.bit >= end_bit || br.bit >= total_bits) break;  // sentinel
-            for (int j = 0; j < 64; ++j) scratch[j] = 0;
-            int c = slot_comp[phase];
-            if (decode_block(br, dc_luts[c], ac_luts[c], zigzag, scratch) < 0) {
-                res.dead = true;
-                res.starts.pop_back();  // death position is not a boundary
-                break;
+        for (int attempt = 0; attempt < 256; ++attempt) {
+            if (start0 + attempt >= end_bit) break;
+            res.starts.clear();
+            Bits2 br{data, nbytes, start0 + attempt};
+            int phase = h;
+            bool died = false;
+            while (true) {
+                res.starts.push_back(br.bit);
+                if (br.bit >= end_bit || br.bit >= total_bits) break;
+                for (int j = 0; j < 64; ++j) scratch[j] = 0;
+                int c = slot_comp[phase];
+                if (decode_block(br, dc_luts[c], ac_luts[c], zigzag,
+                                 scratch) < 0) {
+                    died = true;
+                    break;
+                }
+                phase = phase + 1 == S ? 0 : phase + 1;
             }
-            phase = phase + 1 == S ? 0 : phase + 1;
+            if (!died) return;  // surviving scan recorded (sentinel last)
         }
+        res.dead = true;
+        res.starts.clear();
     };
 
     {
