@@ -221,6 +221,22 @@ def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
     return bytes(raw)
 
 
+def _splice_restart_raw(nw: np.ndarray, nb: np.ndarray, S: int,
+                        ri: int, seg_bits: np.ndarray) -> bytes:
+    """Host splice of per-block words into byte-aligned restart segments
+    (the overflow fallback mirroring concat_device_restart's layout)."""
+    raw_parts = []
+    for s in range(S):
+        sl = slice(s * 6 * ri, (s + 1) * 6 * ri)
+        seg_raw, sb = splice_blocks(
+            np.ascontiguousarray(nw[sl]), np.ascontiguousarray(nb[sl]))
+        # splice 1-pads the tail; _assemble_restart_segments re-ORs the
+        # same bits
+        raw_parts.append(seg_raw)
+        assert sb == int(seg_bits[s])
+    return b"".join(raw_parts)
+
+
 def _assemble_restart_segments(raw: bytes, seg_bits: np.ndarray) -> bytes:
     """Join byte-aligned segments with 1-padding, stuffing and RSTn markers.
 
@@ -305,15 +321,8 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
         if total <= 32 * stream.shape[0]:
             raw = stream.astype(">u4").tobytes()
         else:  # overflow: host splice (already segment-padded offsets)
-            nw, nb = np.asarray(words), np.asarray(bits)
-            raw_parts = []
-            for s in range(S):
-                sl = slice(s * 6 * ri, (s + 1) * 6 * ri)
-                seg_raw, sb = splice_blocks(nw[sl], nb[sl])
-                # splice 1-pads the tail; _assemble re-ORs the same bits
-                raw_parts.append(seg_raw)
-                assert sb == int(seg_bits[s])
-            raw = b"".join(raw_parts)
+            raw = _splice_restart_raw(
+                np.asarray(words), np.asarray(bits), S, ri, seg_bits)
         return header + _assemble_restart_segments(raw, seg_bits) + writer.EOI
     if total <= 32 * (combined.shape[0] - 1):
         packed = _stream_to_bytes(combined[1:], total)
@@ -598,10 +607,13 @@ def encode_batch_finish(ticket) -> list[bytes]:
                                          huff_tables=huff[i])
         total = int(combined[i, 0])
         if ri:
-            if total > 32 * maxw:
-                raise OverflowError("batch restart stream budget overflow")
             seg_bits = combined[i, 1 : 1 + S]
-            raw = combined[i, 1 + S :].astype(">u4").tobytes()
+            if total <= 32 * maxw:
+                raw = combined[i, 1 + S :].astype(">u4").tobytes()
+            else:  # overflow: host splice for this image only (ADVICE r2)
+                raw = _splice_restart_raw(
+                    np.asarray(words[i]), np.asarray(bits[i]), S, ri,
+                    seg_bits)
             out.append(header + _assemble_restart_segments(raw, seg_bits)
                        + writer.EOI)
             continue
@@ -1034,10 +1046,13 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
         oi = np.concatenate(oidx_all).astype(np.int32)
         orw = (np.concatenate(orows_all) if oidx_all
                else np.zeros((0, 64), np.int16))
-        # pad to a bucket so jit shapes stay stable across batches
+        # pad to a bucket so jit shapes stay stable across batches; the
+        # sentinel must be OUT OF BOUNDS (>= N*Bn) so mode="drop" discards
+        # it -- a negative index would WRAP to a real block (ADVICE r2)
         cap = max(16, 1 << (len(oi) - 1).bit_length()) if len(oi) else 0
         if cap:
-            oi = np.concatenate([oi, np.full(cap - len(oi), -1, np.int32)])
+            oi = np.concatenate(
+                [oi, np.full(cap - len(oi), N * Bn, np.int32)])
             orw = np.concatenate(
                 [orw, np.zeros((cap - orw.shape[0], 64), np.int16)])
         ovf.append((jnp.asarray(oi), jnp.asarray(orw)))

@@ -330,6 +330,75 @@ def _window_words(hi, lo, nbits, off):
     return w0, wwords
 
 
+def pack_method(use_pallas: bool | None = None) -> str:
+    """Which pack implementation to use: 'prefix' (default everywhere),
+    'reduce', 'pallas', or 'fori'.
+
+    The prefix formulation is pure XLA (no Mosaic kernel compile -- the
+    round-2 bench lost 140-400 s of cold start to the Pallas kernel's
+    deferred server-side compile) and measures faster than the Pallas
+    kernel at bench shapes.  JPEZY_PACK overrides; the legacy
+    JPEZY_NO_PALLAS=1 and use_pallas= knobs keep their meaning.
+    """
+    import os
+
+    m = os.environ.get("JPEZY_PACK")
+    if m in ("prefix", "reduce", "pallas", "fori"):
+        return m
+    if use_pallas:
+        return "pallas"
+    if use_pallas is not None or os.environ.get("JPEZY_NO_PALLAS") == "1":
+        return "fori"
+    return "prefix"
+
+
+def _pack_words_reduce(w0, wwords):
+    """Masked-sum pack: packed[b, w] = sum_e sum_j Wj[b,e] * [w0[b,e]+j == w].
+
+    Bit-disjointness across emissions makes integer ADD == OR, so the whole
+    pack is one fused broadcast-compare-reduce over the emission axis (pure
+    XLA -- no Pallas/Mosaic compile, no sequential 64-step loop).
+    """
+    iota = jnp.arange(WORDS_PER_BLOCK, dtype=w0.dtype)[None, None, :]
+    t = w0[:, :, None]                                   # [B, E, 1]
+    z = jnp.uint32(0)
+    contrib = (
+        jnp.where(t == iota, wwords[0][:, :, None], z)
+        | jnp.where(t + 1 == iota, wwords[1][:, :, None], z)
+        | jnp.where(t + 2 == iota, wwords[2][:, :, None], z)
+    )
+    return contrib.sum(axis=1)                           # [B, W]
+
+
+def _pack_words_prefix(w0, wwords):
+    """Prefix-sum pack (cumsum + rank counts + gathers; see _pack_words_reduce
+    for the add==or argument).
+
+    w0 is NONDECREASING over the emission axis (it is a word offset derived
+    from a cumsum), so for each window slot j the emissions targeting word w
+    form a contiguous run [C[w-j-1], C[w-j]) where C[x] = #{e : w0[e] <= x}.
+    Each run's sum comes from a prefix table: 3 cumsums + 3 gathers total.
+    """
+    B, E = w0.shape
+    iota = jnp.arange(WORDS_PER_BLOCK, dtype=w0.dtype)[None, None, :]
+    # C_le[b, w] = #{e : w0[b, e] <= w}  (fused compare-reduce)
+    c_le = (w0[:, :, None] <= iota).astype(jnp.int32).sum(axis=1)  # [B, W]
+    zero = jnp.zeros((B, 1), jnp.int32)
+    c_pad = jnp.concatenate([zero, zero, zero, c_le], axis=1)  # C[w-3..]
+    out = jnp.zeros((B, WORDS_PER_BLOCK), jnp.uint32)
+    for j in range(3):
+        # prefix sums of the j-th window word (exclusive, leading 0);
+        # uint32 adds of bit-disjoint values never carry
+        p = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.uint32),
+             jnp.cumsum(wwords[j], axis=1, dtype=jnp.uint32)], axis=1)
+        end = c_pad[:, 3 - j : 3 - j + WORDS_PER_BLOCK]
+        start = c_pad[:, 2 - j : 2 - j + WORDS_PER_BLOCK]
+        out = out | (jnp.take_along_axis(p, end, axis=1)
+                     - jnp.take_along_axis(p, start, axis=1))
+    return out
+
+
 def pack_block_words(hi, lo, nbits, use_pallas: bool | None = None):
     """Pack merged emissions into per-block 32-bit words.
 
@@ -352,12 +421,12 @@ def pack_block_words(hi, lo, nbits, use_pallas: bool | None = None):
     total = off[:, -1] + nbits[:, -1]
     w0, wwords = _window_words(hi, lo, nbits, off)
 
-    if use_pallas is None:
-        import os
-
-        use_pallas = (jax.default_backend() == "tpu"
-                      and os.environ.get("JPEZY_NO_PALLAS") != "1")
-    if use_pallas:
+    method = pack_method(use_pallas)
+    if method == "prefix":
+        return _pack_words_prefix(w0, wwords), total
+    if method == "reduce":
+        return _pack_words_reduce(w0, wwords), total
+    if method == "pallas":
         from .pack_pallas import pack_words_pallas
 
         return pack_words_pallas(w0, wwords[0], wwords[1], wwords[2]), total

@@ -61,10 +61,12 @@ def warm_pack_kernel() -> bool:
     global _warmed
     if _warmed:
         return False
-    _warmed = True
     z = jnp.zeros((TILE_B, EMISSIONS), jnp.int32)
     zu = jnp.zeros((TILE_B, EMISSIONS), jnp.uint32)
     jax.block_until_ready(pack_words_pallas(z, zu, zu, zu))
+    # only mark warmed AFTER success so a transient backend error gets
+    # retried on the next call instead of latching cold (ADVICE r2)
+    _warmed = True
     return True
 
 

@@ -119,6 +119,7 @@ def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,
     b = sharded.shard_batch(mesh, np.ascontiguousarray(batch_rgb[..., 2]))
 
     huff = None
+    yq = cbq = crq = yflat = cflat = None
     if optimize:
         qfn = sharded.make_sharded_quantize(
             mesh, gray=gray, precision=precision, rounded=rounded,
@@ -129,21 +130,33 @@ def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,
         ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
         cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
         huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
-        efn = sharded.make_sharded_emit_stream(
-            mesh, restart_interval=ri)
-        combined = efn(yq, cbq, crq,
-                       tuple(jnp.asarray(a) for a in yflat),
-                       tuple(jnp.asarray(a) for a in cflat))
-    else:
+
+    def _dispatch(maxw_shard: int) -> np.ndarray:
+        if optimize:
+            efn = sharded.make_sharded_emit_stream(
+                mesh, restart_interval=ri, maxw_shard=maxw_shard)
+            return np.asarray(efn(
+                yq, cbq, crq, tuple(jnp.asarray(a) for a in yflat),
+                tuple(jnp.asarray(a) for a in cflat)))
         fn = sharded.make_sharded_encode_stream(
             mesh, gray=gray, precision=precision, rounded=rounded,
-            quality=quality, restart_interval=ri,
+            quality=quality, restart_interval=ri, maxw_shard=maxw_shard,
         )
-        combined = fn(r, g, b)
-    combined = np.asarray(combined)               # ONE compact fetch
-    ntile = combined.shape[1]
+        return np.asarray(fn(r, g, b))
+
+    combined = _dispatch(0)                       # ONE compact fetch
     S_shard = mcus_per_shard // ri if ri else 0
     maxw = combined.shape[2] - 1 - S_shard
+    max_total = int(combined[:, :, 0].astype(np.int64).max())
+    if max_total > 32 * maxw:
+        # dense content blew the default ~2 bit/px budget: re-dispatch with
+        # a budget fitted to the observed max (pays one recompile; ADVICE r2
+        # asked the overflow not to be fatal)
+        need = -(-max_total // 32)
+        need += (-need) % 128                     # lane-aligned
+        combined = _dispatch(need)
+        maxw = combined.shape[2] - 1 - S_shard
+    ntile = combined.shape[1]
 
     qt = T.scale_quant_tables(quality) if quality is not None else None
     header = writer.write_header(make_encode_props(w, h, gray=gray),
