@@ -81,10 +81,13 @@ def cmd_encode(argv: list[str]) -> int:
     t1 = timer.stop()
 
     if outp == "--debug":
-        sys.stdout.write(ppm.serialize_p3(rgb, comment=None).decode())
+        sys.stdout.write(
+            ppm.serialize_p3(rgb, comment=None, maxval=maxv).decode())
         return 0
     if outp.endswith(".ppm"):
-        ppm.write(outp, rgb, fmt="P3")
+        # passthrough re-emits the parsed header incl. maxval, like the
+        # reference's operator<< (src/encoder/encode_io.hpp:104-119)
+        ppm.write(outp, rgb, fmt="P3", comment=None, maxval=maxv)
         return 0
     if not (".jpg" in outp or ".jpeg" in outp):
         return _encode_usage()

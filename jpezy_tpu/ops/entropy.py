@@ -331,14 +331,16 @@ def _window_words(hi, lo, nbits, off):
 
 
 def pack_method(use_pallas: bool | None = None) -> str:
-    """Which pack implementation to use: 'prefix' (default everywhere),
-    'reduce', 'pallas', or 'fori'.
+    """Which pack implementation to use: 'reduce' (default everywhere),
+    'prefix', 'pallas', or 'fori'.
 
-    The prefix formulation is pure XLA (no Mosaic kernel compile -- the
+    The reduce formulation is pure XLA (no Mosaic kernel compile -- the
     round-2 bench lost 140-400 s of cold start to the Pallas kernel's
-    deferred server-side compile) and measures faster than the Pallas
-    kernel at bench shapes.  JPEZY_PACK overrides; the legacy
-    JPEZY_NO_PALLAS=1 and use_pallas= knobs keep their meaning.
+    deferred server-side compile) and measures fastest inside the fused
+    encode program on the v5e (full batch encode: reduce 165 ms, fori
+    185 ms, prefix 554 ms -- take_along_axis gathers are slow there).
+    JPEZY_PACK overrides; the legacy JPEZY_NO_PALLAS=1 and use_pallas=
+    knobs keep their meaning.
     """
     import os
 
@@ -349,7 +351,7 @@ def pack_method(use_pallas: bool | None = None) -> str:
         return "pallas"
     if use_pallas is not None or os.environ.get("JPEZY_NO_PALLAS") == "1":
         return "fori"
-    return "prefix"
+    return "reduce"
 
 
 def _pack_words_reduce(w0, wwords):

@@ -147,13 +147,17 @@ def _emit_local(yq, cbq, crq, *, tile_axis: str | None,
     return words.reshape(n_loc, nm * 6, W), bits.reshape(n_loc, nm * 6)
 
 
-def _mesh_use_pallas(mesh: Mesh) -> bool:
-    # pick the packer for the devices that will actually run the shard_map
-    # (the process default backend may differ from the mesh's platform,
-    # e.g. a CPU validation mesh on a TPU host)
+def _mesh_use_pallas(mesh: Mesh) -> bool | None:
+    """Packer choice for the devices that will actually run the shard_map.
+
+    Returns None (= the pure-XLA default, ops.entropy.pack_method) unless
+    JPEZY_PACK=pallas explicitly opts into the Pallas kernel AND the mesh's
+    platform is really TPU (the process default backend may differ from the
+    mesh's platform, e.g. a CPU validation mesh on a TPU host)."""
+    if os.environ.get("JPEZY_PACK") != "pallas":
+        return None
     mesh_platform = np.asarray(mesh.devices).flat[0].platform
-    return (mesh_platform == "tpu"
-            and os.environ.get("JPEZY_NO_PALLAS") != "1")
+    return True if mesh_platform == "tpu" else None
 
 
 @functools.lru_cache(maxsize=64)

@@ -91,17 +91,21 @@ def read(path: str) -> tuple[int, int, int, np.ndarray]:
         return parse(f.read())
 
 
-def serialize_p3(rgb: np.ndarray, *, comment: str | None = "Decoded by jpezy") -> bytes:
+def serialize_p3(rgb: np.ndarray, *, comment: str | None = "Decoded by jpezy",
+                 maxval: int = 255) -> bytes:
     """Serialize rgb[H, W, 3] -> P3 text, one 'r g b' line per pixel.
 
     Byte-compatible with reference decode_io (src/decoder/decode_io.hpp:41-53):
     'P3\\n# Decoded by jpezy\\n<w> <h>\\n255\\n' then one pixel per line.
+    maxval: carried through on passthrough re-emission (the reference
+    re-emits the parsed header verbatim, src/encoder/encode_io.hpp:104-119;
+    pixel STORAGE is bytes in both, matching its vector<srook::byte>).
     """
     h, w = rgb.shape[:2]
     header = "P3\n"
     if comment:
         header += f"# {comment}\n"
-    header += f"{w} {h}\n255\n"
+    header += f"{w} {h}\n{maxval}\n"
     try:
         from . import native
 
@@ -118,6 +122,9 @@ def serialize_p6(rgb: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
 
 
-def write(path: str, rgb: np.ndarray, fmt: str = "P3") -> None:
+def write(path: str, rgb: np.ndarray, fmt: str = "P3", *,
+          comment: str | None = "Decoded by jpezy",
+          maxval: int = 255) -> None:
     with open(path, "wb") as f:
-        f.write(serialize_p3(rgb) if fmt == "P3" else serialize_p6(rgb))
+        f.write(serialize_p3(rgb, comment=comment, maxval=maxval)
+                if fmt == "P3" else serialize_p6(rgb))

@@ -24,12 +24,23 @@ def enable(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "jpezy_tpu_xla"
-        )
+        cache_dir = os.environ.get("JPEZY_TPU_COMPILE_CACHE_DIR")
+    if cache_dir is None:
+        # repo-local by default: it survives fresh shells/users on the same
+        # checkout (the bench driver reuses the working tree), with ~/.cache
+        # as the fallback for read-only checkouts
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        cache_dir = os.path.join(repo, ".xla_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+        except OSError:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "jpezy_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # older jax without these flags

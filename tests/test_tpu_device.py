@@ -60,7 +60,9 @@ import io
 pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 mse = np.mean((pil.astype(float) - img.astype(float)) ** 2)
 psnr = 10 * np.log10(255**2 / mse)
-assert psnr >= 26.0, f"PSNR {psnr:.2f} dB < 26 dB"
+# measured envelope for this image is 26.81 dB (fast-path f32);
+# floor set just under it so a real quality regression fails
+assert psnr >= 26.7, f"PSNR {psnr:.2f} dB < 26.7 dB"
 print(f"tpu-encode PSNR: {psnr:.2f} dB OK")
 """
 
