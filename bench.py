@@ -53,6 +53,12 @@ def measure(platform: str) -> dict:
     # the rest of the cold-start, see ops/pack_pallas.warm_pack_kernel)
     os.environ.setdefault("JPEZY_TPU_COMPILE_CACHE", "1")
     compile_cache.enable()
+    try:
+        cdir = jax.config.jax_compilation_cache_dir
+        n_cached = len(os.listdir(cdir)) if cdir and os.path.isdir(cdir) else 0
+        log(f"compile cache: {cdir} ({n_cached} entries)")
+    except Exception:
+        pass
 
     log(f"devices: {jax.devices()}")
     h = w = 512
@@ -90,23 +96,32 @@ def measure(platform: str) -> dict:
     log(f"single encode: {t_enc1*1000:.1f}ms ({mp/t_enc1:.1f} MP/s)")
     log(f"single decode: {t_dec1*1000:.1f}ms ({mp/t_dec1:.1f} MP/s)")
 
-    # ---- batched pipeline (production path, one fetch per batch)
+    # ---- batched pipeline (production path, one fetch per batch).
+    # Decode is measured on BOTH transports (VERDICT r2 #1) and the faster
+    # one feeds the pipelined round-trip below.
     streams = jax_codec.encode_batch(batches[0])   # compile
-    jax_codec.decode_batch(streams)                # compile
-    t_enc, t_dec = [], []
-    for trial in range(4):
+    t_tr = {}
+    for tr in ("ycc420", "rgb"):
+        jax_codec.decode_batch(streams, transport=tr)   # compile
+        ts = []
+        for trial in range(3):
+            t0 = time.time()
+            jax_codec.decode_batch(streams, transport=tr)
+            ts.append(time.time() - t0)
+        t_tr[tr] = min(ts)
+        log(f"batched decode x{batch_n} [{tr}]: {t_tr[tr]*1000:.0f}ms "
+            f"({batch_n*mp/t_tr[tr]:.1f} MP/s)")
+    transport = min(t_tr, key=t_tr.get)
+    log(f"decode transport auto-pick: {transport}")
+    t_enc = []
+    for trial in range(3):
         imgs = batches[trial % 2]
         t0 = time.time()
         streams = jax_codec.encode_batch(imgs)
         t_enc.append(time.time() - t0)
-        t0 = time.time()
-        out, _ = jax_codec.decode_batch(streams)
-        t_dec.append(time.time() - t0)
-    t_benc, t_bdec = min(t_enc), min(t_dec)
+    t_benc, t_bdec = min(t_enc), t_tr[transport]
     log(f"batched encode x{batch_n}: {t_benc*1000:.0f}ms "
         f"({batch_n*mp/t_benc:.1f} MP/s)")
-    log(f"batched decode x{batch_n}: {t_bdec*1000:.0f}ms "
-        f"({batch_n*mp/t_bdec:.1f} MP/s)")
     v_serial = batch_n * mp / (t_benc + t_bdec)
     log(f"round-trip (batched, serial): {v_serial:.2f} MP/s")
 
@@ -163,14 +178,16 @@ def measure(platform: str) -> dict:
     # The tunnel's bandwidth is shared and bursty (occasional multi-second
     # stalls), so take the best of several passes, like the min-of-5 above.
     n_meas = 4
-    for _ in pipeline.roundtrip_batches(iter(batches[:2])):
+    for _ in pipeline.roundtrip_batches(iter(batches[:2]),
+                                        transport=transport):
         pass                                        # warm the pipeline path
     value = 0.0
-    for rep, la in enumerate((1, 2, 2)):
+    for rep, la in enumerate((1, 2, 2, 2)):
         t0 = time.time()
         got = 0
         for streams, pix in pipeline.roundtrip_batches(
-                (batches[i % 2] for i in range(n_meas)), lookahead=la):
+                (batches[i % 2] for i in range(n_meas)), lookahead=la,
+                transport=transport):
             got += len(streams)
             assert pix.shape[1:] == (h, w, 3)
         t_pipe = time.time() - t0
@@ -212,10 +229,36 @@ def measure(platform: str) -> dict:
         f"(full overlap); pipelined achieved {v_pipelined:.2f} MP/s = "
         f"{v_pipelined/bound_serial*100:.0f}% of the half-duplex bound")
 
-    # ---- speculative parallel entropy decode speedup (host; SURVEY 2.7a).
-    # A single large restart-free stream is the serial-chain worst case the
-    # reference embodies (jpezy_decoder.hpp:583-642).
+    # ---- 4K single-image latency (BASELINE config 4; VERDICT r2 #9).
+    # Uses the batched entry points at N=1: they carry the lean transports
+    # (ycc420 planes up, sparse coefficients + planes down).
+    big4k = np.tile(batches[0][0], (8, 8, 1))[None]  # [1, 4096, 4096, 3]
+    s4k = jax_codec.encode_batch(big4k)
+    jax_codec.decode_batch(s4k)                      # compile at 4K shapes
+    ts_e, ts_d = [], []
+    for _ in range(3):
+        t0 = time.time()
+        s4k = jax_codec.encode_batch(big4k)
+        ts_e.append(time.time() - t0)
+        t0 = time.time()
+        jax_codec.decode_batch(s4k)
+        ts_d.append(time.time() - t0)
+    mp4k = 4096 * 4096 / 1e6
+    v_4k = mp4k / (min(ts_e) + min(ts_d))
+    log(f"4K single image: encode {min(ts_e)*1e3:.0f}ms "
+        f"({mp4k/min(ts_e):.1f} MP/s), decode {min(ts_d)*1e3:.0f}ms "
+        f"({mp4k/min(ts_d):.1f} MP/s), round-trip {v_4k:.2f} MP/s")
+
+    # ---- restart-free entropy decode (host; SURVEY 2.7a).  A single large
+    # restart-free stream is the serial-chain worst case the reference
+    # embodies (jpezy_decoder.hpp:583-642).  The production path is the
+    # destuffed fast serial decoder; the speculative-resync decoder needs
+    # more threads than its S=6 hypothesis redundancy (it is gated off on
+    # narrow hosts -- this machine has 2 cores), so it is reported for the
+    # record, not as the default.
     try:
+        import os as _os
+
         from jpezy_tpu.bitstream.reader import parse as _parse
         from jpezy_tpu.runtime import native as _nat
 
@@ -235,9 +278,11 @@ def measure(platform: str) -> dict:
         spec, stats = _nat.decode_speculative(pj, n_mcus)
         t_spec = time.time() - t0
         assert all(np.array_equal(a, b) for a, b in zip(ser, spec))
-        log(f"entropy decode 2048x2048 restart-free: serial {t_ser*1e3:.0f}ms"
-            f" -> speculative {t_spec*1e3:.0f}ms ({t_ser/t_spec:.2f}x, "
-            f"{stats['synced']} chunks adopted)")
+        log(f"entropy decode 2048x2048 restart-free: fast serial "
+            f"{t_ser*1e3:.0f}ms; speculative {t_spec*1e3:.0f}ms on "
+            f"{_os.cpu_count()} cores ({stats['synced']} chunks adopted; "
+            f"needs >7 cores to amortize its 6-hypothesis scans, "
+            f"auto-disabled here)")
     except Exception as e:  # no native runtime: skip the host-side number
         log(f"speculative decode measurement skipped: {e}")
 
@@ -267,6 +312,11 @@ def measure(platform: str) -> dict:
         "vs_baseline": round(value / REF_ROUNDTRIP_MPS, 2),
         "roundtrip_pipelined": round(v_pipelined, 3),
         "roundtrip_serial": round(v_serial, 3),
+        "decode_transport": transport,
+        "decode_ms_ycc420": round(t_tr["ycc420"] * 1e3, 1),
+        "decode_ms_rgb": round(t_tr["rgb"] * 1e3, 1),
+        "roundtrip_4k_single": round(v_4k, 3),
+        "link_bound_halfduplex": round(bound_serial, 2),
     }
 
 

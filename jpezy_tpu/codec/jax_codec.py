@@ -733,10 +733,13 @@ def plane_to_gray(y, *, precision="fast"):
 def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
     """Route restart-free streams to the speculative parallel decoder?
 
-    The speculative scan does ~S hypothesis decodes per chunk (S = blocks
-    per MCU), so it only pays off when the thread pool can absorb that
-    redundancy: require enough cores AND enough MCUs to amortize thread
-    spawns.  JPEZY_SPEC_DECODE=1/0 forces it on/off (tests use this).
+    The speculative scan does S hypothesis decodes per chunk (S = blocks
+    per MCU, 6 for 4:2:0 color), so its total work is ~S serial decodes:
+    it can only WIN when the thread pool is wider than S.  On narrow hosts
+    (this machine has 2 cores) it loses by construction, so the gate
+    requires ncores > S + 1; the restart-free default there is the fast
+    destuffed serial decoder (runtime/native.py), which is ~3x the old
+    serial path.  JPEZY_SPEC_DECODE=1/0 forces on/off (tests use this).
     """
     import os
 
@@ -747,10 +750,9 @@ def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
         return False  # restart segments already decode thread-parallel
     ncores = os.cpu_count() or 1
     entropy_bytes = len(pj.data) - pj.entropy_start
-    # the serial LUT decoder runs ~300-500 MB/s, so below ~2 MB of entropy
-    # data the whole decode is a handful of ms and the speculative scan's
-    # hypothesis redundancy + thread spawns cost more than they save
-    return ncores >= 4 and n_mcus >= 4096 and entropy_bytes >= (2 << 20)
+    # blocks per MCU = the hypothesis count the scan must amortize
+    S = sum(fc.H * fc.V for fc in pj.frame_components)
+    return ncores > S + 1 and n_mcus >= 4096 and entropy_bytes >= (2 << 20)
 
 
 def _decode_entropy_batch(pjs: list[ParsedJpeg]) -> list[list[np.ndarray]]:

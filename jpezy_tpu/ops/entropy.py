@@ -266,7 +266,9 @@ def _scatter_stream(words, goff, maxw: int):
     carry = jnp.where(
         rr > 0, words[:, -1] << (32 - jnp.where(rr > 0, rr, 1)), 0
     ).astype(jnp.uint32)[:, None]
-    contrib = jnp.concatenate([shifted, carry], axis=1)       # [B, W+1]
+    # explicit uint32: under x64 the shift expressions promote to uint64,
+    # which a uint32 scatter-add rejects in future jax versions
+    contrib = jnp.concatenate([shifted, carry], axis=1).astype(jnp.uint32)
     idx = q[:, None] + jnp.arange(W + 1, dtype=q.dtype)[None, :]
     return jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
         contrib.reshape(-1), mode="drop"
@@ -291,7 +293,7 @@ def concat_device_batch(words, bits, maxw: int):
     carry = jnp.where(
         rr > 0, words[..., -1] << (32 - jnp.where(rr > 0, rr, 1)), 0
     ).astype(jnp.uint32)[..., None]
-    contrib = jnp.concatenate([shifted, carry], axis=2)       # [N, B, W+1]
+    contrib = jnp.concatenate([shifted, carry], axis=2).astype(jnp.uint32)
     img = jnp.arange(N, dtype=q.dtype)[:, None, None] * maxw
     woff = q[..., None] + jnp.arange(W + 1, dtype=q.dtype)[None, None, :]
     # spills past an image's budget go out of range -> dropped by mode="drop"

@@ -113,6 +113,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(c_i16p), ctypes.c_int,
         ]
+        lib.jz_entropy_decode_fast.restype = ctypes.c_int64
+        lib.jz_entropy_decode_fast.argtypes = [
+            c_u8p, ctypes.c_long,
+            ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
+            c_i32p, ctypes.c_int, c_i32p, c_i32p,
+            ctypes.c_int64,
+            ctypes.POINTER(c_i16p),
+        ]
         _lib = lib
         return _lib
 
@@ -361,10 +369,18 @@ def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:
             0 if n_mcus >= 8192 else (4 if n_mcus >= 2048 else 1),
         )
     else:
-        rc = lib.jz_entropy_decode(
-            _u8p(data), len(data), dc_arr, ac_arr, _i32p(zz),
+        # restart-free fast path: destuff once (memcpy-speed), then the
+        # branchless-refill decoder.  +8 ZERO pad bytes: the reader's
+        # refill reads past the end unconditionally (zero-fill-at-EOF
+        # semantics, same as the general decoder).
+        destuffed = np.zeros(len(data) + 8, dtype=np.uint8)
+        consumed = ctypes.c_long(0)
+        nd = lib.jz_destuff(
+            _u8p(data), len(data), _u8p(destuffed), ctypes.byref(consumed))
+        rc = lib.jz_entropy_decode_fast(
+            _u8p(destuffed), int(nd), dc_arr, ac_arr, _i32p(zz),
             ncomp, _i32p(comp_h), _i32p(comp_v),
-            n_mcus, ri, out_arr,
+            n_mcus, out_arr,
         )
     if rc != n_mcus:
         raise RuntimeError(f"native entropy decode failed: rc={rc}")

@@ -1,0 +1,142 @@
+"""Golden-fixture validation pinned INDEPENDENTLY of codec/oracle.py.
+
+The reference binary cannot be built offline (srook/boost are network
+ExternalProject fetches, /root/reference/get_srookcpp.cmake:1-12), so jpezy
+semantics are pinned three ways (VERDICT r2 #5):
+
+1. committed byte artifacts: today's encoder/decoder must reproduce the
+   generation-time streams and planes EXACTLY (catches any semantic drift
+   in tables, bitstream layout, transforms, upsampling, crop);
+2. PIL, an independent JPEG implementation, must accept every stream and
+   broadly agree on pixels (structure validity);
+3. a from-scratch transcription of the reference's decode math
+   (dequantize jpezy_decoder.hpp:645-650, naive float64 IDCT + level shift
+   652-670) written HERE, not imported, must reproduce our decoded Y plane
+   block-for-block from the raw entropy coefficients.
+"""
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+CASES = ["lena_like", "small"]
+
+
+def _load(name):
+    with open(os.path.join(FIXDIR, f"golden_{name}.jpg"), "rb") as f:
+        data = f.read()
+    planes = np.load(os.path.join(FIXDIR, f"golden_{name}_planes.npz"))
+    return data, planes
+
+
+class TestDecodeGoldens:
+    @pytest.mark.parametrize("name", CASES + ["gray"])
+    def test_decode_byte_equal(self, name):
+        from jpezy_tpu.codec import jax_codec
+
+        data, planes = _load(name)
+        r, g, b, _ = jax_codec.decode(data, precision="exact")
+        assert np.array_equal(r, planes["r"])
+        assert np.array_equal(g, planes["g"])
+        assert np.array_equal(b, planes["b"])
+
+    @pytest.mark.parametrize("name", CASES)
+    def test_fast_path_within_envelope(self, name):
+        from jpezy_tpu.codec import jax_codec
+
+        data, planes = _load(name)
+        r, g, b, _ = jax_codec.decode(data)  # float32 fast path
+        for got, key in ((r, "r"), (g, "g"), (b, "b")):
+            assert np.abs(got.astype(int)
+                          - planes[key].astype(int)).max() <= 2
+
+    @pytest.mark.parametrize("name", CASES)
+    def test_pil_accepts_and_agrees(self, name):
+        data, planes = _load(name)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = np.stack([planes["r"], planes["g"], planes["b"]], -1)
+        assert pil.shape == ours.shape
+        mse = np.mean((pil.astype(float) - ours.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 30.0
+
+
+class TestEncodeGoldens:
+    @pytest.mark.parametrize("name", CASES)
+    def test_encode_byte_equal(self, name):
+        from jpezy_tpu.codec import jax_codec
+        from jpezy_tpu.runtime import ppm
+
+        w, h, _, rgb = ppm.read(os.path.join(FIXDIR, f"golden_{name}.ppm"))
+        data, _ = _load(name)
+        got = jax_codec.encode(rgb[..., 0], rgb[..., 1], rgb[..., 2],
+                               precision="exact")
+        assert got == data
+
+    def test_gray_encode_byte_equal(self):
+        from jpezy_tpu.codec import jax_codec
+        from jpezy_tpu.runtime import ppm
+
+        w, h, _, rgb = ppm.read(os.path.join(FIXDIR, "golden_small.ppm"))
+        with open(os.path.join(FIXDIR, "golden_gray.jpg"), "rb") as f:
+            data = f.read()
+        got = jax_codec.encode(rgb[..., 0], rgb[..., 1], rgb[..., 2],
+                               precision="exact", gray=True)
+        assert got == data
+        assert b"Encoded by JPEZY" in data  # reference gray-comment quirk
+
+
+class TestIndependentIdctTranscription:
+    """Re-derive the luma plane from raw entropy coefficients with decode
+    math transcribed HERE from the reference -- no oracle.py import."""
+
+    def test_luma_blocks_match(self):
+        from jpezy_tpu.bitstream.reader import parse
+        from jpezy_tpu.codec.jax_codec import decode_entropy_host
+
+        data, planes = _load("small")
+        pj = parse(data)
+        coeffs = decode_entropy_host(pj)[0]         # Y component [B, 64]
+        qt = np.asarray(pj.quant[pj.frame_components[0].Tq], np.int64)
+
+        # jpezy_decoder.hpp:652-670: naive double IDCT, +128 level shift,
+        # truncation to int; 645-650: elementwise dequantize
+        cos_tb = np.cos((2 * np.arange(8)[:, None] + 1)
+                        * np.arange(8)[None, :] * np.pi / 16)
+        cu = np.where(np.arange(8) == 0, 1 / np.sqrt(2), 1.0)
+
+        def idct_block(zz64):
+            deq = zz64.astype(np.float64) * qt
+            blk = deq.reshape(8, 8)                  # natural order [v, u]
+            out = np.empty((8, 8), np.int64)
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for v in range(8):
+                        for u in range(8):
+                            s += (cu[u] * cu[v] * blk[v, u]
+                                  * cos_tb[x, u] * cos_tb[y, v])
+                    out[y, x] = int(s / 4 + 128)
+            return out
+
+        # spot-check a spread of blocks (full image would be slow in python)
+        rng = np.random.default_rng(0)
+        idx = rng.choice(coeffs.shape[0], size=8, replace=False)
+
+        # reconstruct the same blocks from the decoded golden planes:
+        # luma plane is stored upsampled at full res; rebuild the padded
+        # luma from our decode pipeline to compare block-for-block
+        from jpezy_tpu.codec import jax_codec
+        import jax.numpy as jnp
+        from jpezy_tpu.ops import quantize as Q
+        from jpezy_tpu.ops import dct as D
+
+        deq = Q.dequantize(jnp.asarray(coeffs), jnp.asarray(qt))
+        spat = np.asarray(D.inverse_dct(deq, 128, jnp.float64))
+        for b in idx:
+            ref_blk = idct_block(coeffs[b])
+            got_blk = spat[b].reshape(8, 8).astype(np.int64)
+            assert np.array_equal(got_blk, ref_blk), f"block {b}"
