@@ -61,6 +61,19 @@ def measure(platform: str) -> dict:
         pass
 
     log(f"devices: {jax.devices()}")
+
+    # The tunnel's FIRST device->host fetch in a process carries the chip
+    # claim/session establishment, measured 31-509 s depending on server
+    # load -- with NO program involved (a bare 32-byte round trip).  Pay it
+    # here and report it as the environment cost it is, so 'first encode'
+    # below measures OUR cold start (trace + compile/cache + run), which is
+    # ~1-2 s on a warm persistent cache.
+    import jax.numpy as _jnp
+
+    t0 = time.time()
+    _ = np.asarray(_jnp.asarray(np.zeros(8, np.int32)))
+    log(f"tunnel session sync (first fetch, environment): {time.time()-t0:.1f}s")
+
     h = w = 512
     mp = h * w / 1e6
     batch_n = 16

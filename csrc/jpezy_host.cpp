@@ -520,6 +520,45 @@ int64_t jz_entropy_decode_mt(
 // listed in an overflow index array (their dense rows are uploaded as-is).
 // Returns the overflow count.
 // ---------------------------------------------------------------------------
+// int8 value variant: values are one byte each (quantized baseline
+// coefficients rarely exceed +-127); blocks with any |coef| > 127 OR more
+// than k nonzeros go to the overflow list (dense int16 rows).  ~35% fewer
+// upload bytes than the int16 variant for typical content.
+long jz_sparsify_i8(const int16_t* dense, long nblocks, int k,
+                    uint32_t* mask_lo, uint32_t* mask_hi,
+                    int8_t* vals,           // [nblocks, k]
+                    int64_t* overflow_idx, long overflow_cap) {
+    long novf = 0;
+    for (long b = 0; b < nblocks; ++b) {
+        const int16_t* blk = dense + b * 64;
+        uint32_t lo = 0, hi = 0;
+        int cnt = 0;
+        bool wide = false;
+        int8_t* v = vals + (long)b * k;
+        for (int j = 0; j < 64; ++j) {
+            int16_t x = blk[j];
+            if (x != 0) {
+                if (x < -128 || x > 127) wide = true;
+                if (cnt < k) v[cnt] = (int8_t)x;
+                ++cnt;
+                if (j < 32) lo |= 1u << j; else hi |= 1u << (j - 32);
+            }
+        }
+        if (cnt > k || wide) {
+            // overflow: mask cleared so the dense scatter row wins alone
+            mask_lo[b] = 0;
+            mask_hi[b] = 0;
+            for (int j = 0; j < k; ++j) v[j] = 0;
+            if (novf < overflow_cap) overflow_idx[novf] = b;
+            ++novf;
+        } else {
+            mask_lo[b] = lo;
+            mask_hi[b] = hi;
+        }
+    }
+    return novf;
+}
+
 long jz_sparsify(const int16_t* dense, long nblocks, int k,
                  uint32_t* mask_lo, uint32_t* mask_hi,
                  int16_t* vals,            // [nblocks, k]

@@ -855,7 +855,8 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
 
     flat: ONE uint8 buffer.  First N*X bytes are per-image rows holding,
     per component, mask_lo [N,B] u32 | mask_hi [N,B] u32 | vals [N,B,K]
-    i16; then, per component, the overflow data oidx [cap] i32 | orows
+    INT8 (blocks with wider coefficients travel whole in the overflow
+    rows); then, per component, the overflow data oidx [cap] i32 | orows
     [cap, 64] i16.  ONE host->device transfer total: each transfer through
     the TPU tunnel pays a fixed ~20 ms round trip, and the previous layout
     (packed + 3x2 overflow arrays + 3 quant tables = 10 transfers) spent
@@ -869,7 +870,7 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
     clamps after, so IDCT overshoot pixels can differ slightly -- this is
     the documented fast-transport tradeoff (exact mode uses RGB transport).
     """
-    X = sum((4 + 4 + 2 * K) * Bn for Bn in shapes)
+    X = sum((4 + 4 + K) * Bn for Bn in shapes)
     packed = flat[: N * X].reshape(N, X)
     ooff = N * X
     outs = []
@@ -884,9 +885,8 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
             packed[:, off : off + 4 * Bn].reshape(N, Bn, 4), jnp.uint32)
         off += 4 * Bn
         vv = jax.lax.bitcast_convert_type(
-            packed[:, off : off + 2 * Bn * K].reshape(N, Bn, K, 2),
-            jnp.int16)
-        off += 2 * Bn * K
+            packed[:, off : off + Bn * K].reshape(N, Bn, K), jnp.int8)
+        off += Bn * K
         dense = _densify(ml.reshape(-1), mh.reshape(-1),
                          vv.reshape(N * Bn, K))
         if cap:
@@ -1070,7 +1070,7 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     # GIL-releasing C++ calls; images are independent)
     def _front(pj):
         blocks = decode_entropy_host(pj)
-        return blocks, [native.sparsify(b, K) for b in blocks]
+        return blocks, [native.sparsify8(b, K) for b in blocks]
 
     if N > 1:
         import concurrent.futures as cf

@@ -82,6 +82,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             c_i16p, c_i64p, ctypes.c_long,
         ]
+        c_i8p_ = ctypes.POINTER(ctypes.c_int8)
+        lib.jz_sparsify_i8.restype = ctypes.c_long
+        lib.jz_sparsify_i8.argtypes = [
+            c_i16p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            c_i8p_, c_i64p, ctypes.c_long,
+        ]
         lib.jz_ycc420_to_rgb.restype = None
         lib.jz_ycc420_to_rgb.argtypes = [
             c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, c_u8p,
@@ -216,6 +223,38 @@ def sparsify(dense: np.ndarray, k: int = 10):
             vals.ctypes.data_as(P16),
             ovf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
         )
+    idx = ovf[:n]
+    return mask_lo, mask_hi, vals, idx, dense[idx]
+
+
+def sparsify8(dense: np.ndarray, k: int = 10):
+    """[B, 64] int16 blocks -> (mask_lo, mask_hi [B] uint32, vals [B, k]
+    INT8, overflow_idx int64, overflow_rows [n, 64] int16).
+
+    One byte per value (~35% fewer upload bytes than sparsify); blocks
+    with any |coef| > 127 or more than k nonzeros go whole to the overflow
+    rows (their masks are cleared, the dense scatter row replaces them)."""
+    lib = get_lib()
+    dense = np.ascontiguousarray(dense, dtype=np.int16)
+    B = dense.shape[0]
+    mask_lo = np.empty(B, dtype=np.uint32)
+    mask_hi = np.empty(B, dtype=np.uint32)
+    vals = np.zeros((B, k), dtype=np.int8)
+    cap = max(16, B // 8)
+    P16 = ctypes.POINTER(ctypes.c_int16)
+    P8 = ctypes.POINTER(ctypes.c_int8)
+    for _ in range(2):
+        ovf = np.zeros(cap, dtype=np.int64)
+        n = lib.jz_sparsify_i8(
+            dense.ctypes.data_as(P16), B, k,
+            mask_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            mask_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            vals.ctypes.data_as(P8),
+            ovf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        if n <= cap:
+            break
+        cap = B  # extremely dense content: one retry with full capacity
     idx = ovf[:n]
     return mask_lo, mask_hi, vals, idx, dense[idx]
 

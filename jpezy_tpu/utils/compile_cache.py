@@ -1,13 +1,15 @@
 """Persistent XLA compilation cache setup.
 
-Round-2 finding (scripts/cache_probe.py): the cache WORKS against the
-tunneled backend -- a cache hit turns the fused encode graph's 6-9 s XLA
-compile into ~2 s.  Round 1 blamed a "deserialization hang"; the hang was
-actually the *deferred Mosaic compile* of the embedded Pallas kernel at
-first execution (~140-410 s), which is independent of this cache and is
-solved by ops.pack_pallas.warm_pack_kernel (the encode entry points call
-it).  With both in place a fresh process reaches its first encoded byte
-in ~15-25 s.
+Round-3 cold-start post-mortem (supersedes rounds 1-2):
+  - the cache WORKS: a hit turns the fused encode graph's compile into
+    ~1 s even against the tunneled backend;
+  - the Pallas/Mosaic deferred-compile stall is GONE from the default
+    path (the pack is pure XLA now, ops.entropy.pack_method);
+  - the remaining large, wildly variable cold-start cost (31-509 s
+    measured) is the tunnel's FIRST device->host fetch in a process --
+    chip claim/session establishment, reproduced with a bare 32-byte
+    round trip and no program at all.  No cache can remove it; bench.py
+    pays it explicitly up front and reports it as an environment cost.
 
 Call enable() before the first jit execution.  Opt-in via
 JPEZY_TPU_COMPILE_CACHE=1 (cache writes add a little latency per new
