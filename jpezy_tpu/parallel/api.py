@@ -97,6 +97,24 @@ def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,
     shared by the whole batch (near-optimal for homogeneous batches; use
     encode(..., optimize=True) for strictly per-image tables).
     """
+    return encode_sharded_finish(encode_sharded_dispatch(
+        mesh, batch_rgb, gray=gray, precision=precision, rounded=rounded,
+        quality=quality, restart_interval=restart_interval,
+        optimize=optimize))
+
+
+def encode_sharded_dispatch(mesh: Mesh, batch_rgb: np.ndarray, *,
+                            gray: bool = False, precision: str = "fast",
+                            rounded: bool = False,
+                            quality: int | None = None,
+                            restart_interval: int = 0,
+                            optimize: bool = False):
+    """Device half of encode_sharded: shard, run the mesh program, fetch
+    the compact per-shard streams.  Returns an opaque ticket for
+    encode_sharded_finish (the host splice/assembly half).  The split lets
+    callers measure device-side sharding cost separately from the host
+    splice, which on a real pod shards across hosts (scripts/scaling.py).
+    """
     n, h, w = batch_rgb.shape[:3]
     if restart_interval < 0:
         raise ValueError(
@@ -156,6 +174,12 @@ def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,
         need += (-need) % 128                     # lane-aligned
         combined = _dispatch(need)
         maxw = combined.shape[2] - 1 - S_shard
+    return (combined, n, w, h, gray, quality, ri, huff, S_shard, maxw)
+
+
+def encode_sharded_finish(ticket) -> list[bytes]:
+    """Host half of encode_sharded: splice per-shard streams + headers."""
+    combined, n, w, h, gray, quality, ri, huff, S_shard, maxw = ticket
     ntile = combined.shape[1]
 
     qt = T.scale_quant_tables(quality) if quality is not None else None
