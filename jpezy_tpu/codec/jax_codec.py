@@ -1150,10 +1150,23 @@ def _decode_batch_ycc420_finish(ticket):
     return out, props
 
 
-def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
-    """Decode baseline JPEG bytes -> (r, g, b [H, W] uint8, ImageProps)."""
-    pj = parse(data)
-    _check_decodable(pj)
+def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
+           verbose: bool = False):
+    """Decode baseline JPEG bytes -> (r, g, b [H, W] uint8, ImageProps).
+
+    verbose: per-phase section timers on stdout, the decoder<Debug> analog
+    (the reference allocates raii_messengers inside its decode phases,
+    jpezy_decoder.hpp:90-92,173-175,192-193)."""
+    import contextlib
+
+    from ..utils.timing import SectionTimer
+
+    phase = (lambda msg: SectionTimer(msg, indent="\t")) if verbose \
+        else (lambda msg: contextlib.nullcontext())
+
+    with phase("analyzing header..."):
+        pj = parse(data)
+        _check_decodable(pj)
     props = pj.props
     hmax, vmax = pj.hmax, pj.vmax
     geos = [
@@ -1163,7 +1176,8 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
     level = 128 if props.sample_precision == 8 else 2048
 
-    comp_blocks = decode_entropy_host(pj)
+    with phase("decoding huffman (entropy frontend)..."):
+        comp_blocks = decode_entropy_host(pj)
     ncomp = len(pj.frame_components)
     geom = tuple(
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
@@ -1175,13 +1189,14 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast"):
         tuple(int(x) for x in pj.quant[fc.Tq])
         for fc in pj.frame_components
     )
-    out = _decode_fused_packed(
-        jnp.asarray(np.concatenate(
-            [np.asarray(cb, dt0) for cb in comp_blocks])),
-        geom=geom, level=level, gray=gray or ncomp == 1, precision=precision,
-        sizes=sizes, qtuple=qtuple,
-    )
-    out = np.asarray(out)  # ONE fetch
+    with phase("dequant + inverse DCT + color (device)..."):
+        out = _decode_fused_packed(
+            jnp.asarray(np.concatenate(
+                [np.asarray(cb, dt0) for cb in comp_blocks])),
+            geom=geom, level=level, gray=gray or ncomp == 1,
+            precision=precision, sizes=sizes, qtuple=qtuple,
+        )
+        out = np.asarray(out)  # ONE fetch
     H, W = props.height, props.width
     out = out[:H, :W]
     if out.shape[-1] == 1:
