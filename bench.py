@@ -242,25 +242,66 @@ def measure(platform: str) -> dict:
         f"(full overlap); pipelined achieved {v_pipelined:.2f} MP/s = "
         f"{v_pipelined/bound_serial*100:.0f}% of the half-duplex bound")
 
+    # quality gate (moved before the optional sections): streams must be
+    # valid JPEGs of reference quality.  HARD assert (VERDICT r1): a silent
+    # quality regression must fail the bench, not hide behind MP/s.
+    try:
+        from PIL import Image
+        import io
+    except ImportError:
+        Image = None
+    if Image is not None:
+        pil = np.asarray(Image.open(io.BytesIO(streams[0])).convert("RGB"))
+        mse = np.mean((pil.astype(float) - imgs[0].astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        log(f"PIL-decoded PSNR vs source: {psnr:.2f} dB")
+        assert psnr >= 26.0, f"PSNR gate failed: {psnr:.2f} dB < 26 dB"
+
+    result = {
+        "metric": (
+            "encode+decode 512x512 round-trip throughput "
+            f"(pipelined batches of {batch_n}, "
+            f"{'1 chip' if platform == 'tpu' else 'CPU FALLBACK - chip unreachable'})"
+        ),
+        "value": round(value, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(value / REF_ROUNDTRIP_MPS, 2),
+        "roundtrip_pipelined": round(v_pipelined, 3),
+        "roundtrip_serial": round(v_serial, 3),
+        "decode_transport": transport,
+        "decode_ms_ycc420": round(t_tr["ycc420"] * 1e3, 1),
+        "decode_ms_rgb": round(t_tr["rgb"] * 1e3, 1),
+        "link_bound_halfduplex": round(bound_serial, 2),
+    }
+    # the headline is now known: flush it so a timeout in the optional
+    # sections below (4K compiles through a congested tunnel can take
+    # minutes) cannot lose the whole run -- the parent takes the LAST
+    # parseable JSON line
+    print(json.dumps(result), flush=True)
+
     # ---- 4K single-image latency (BASELINE config 4; VERDICT r2 #9).
     # Uses the batched entry points at N=1: they carry the lean transports
     # (ycc420 planes up, sparse coefficients + planes down).
-    big4k = np.tile(batches[0][0], (8, 8, 1))[None]  # [1, 4096, 4096, 3]
-    s4k = jax_codec.encode_batch(big4k)
-    jax_codec.decode_batch(s4k)                      # compile at 4K shapes
-    ts_e, ts_d = [], []
-    for _ in range(3):
-        t0 = time.time()
+    try:
+        big4k = np.tile(batches[0][0], (8, 8, 1))[None]  # [1,4096,4096,3]
         s4k = jax_codec.encode_batch(big4k)
-        ts_e.append(time.time() - t0)
-        t0 = time.time()
-        jax_codec.decode_batch(s4k)
-        ts_d.append(time.time() - t0)
-    mp4k = 4096 * 4096 / 1e6
-    v_4k = mp4k / (min(ts_e) + min(ts_d))
-    log(f"4K single image: encode {min(ts_e)*1e3:.0f}ms "
-        f"({mp4k/min(ts_e):.1f} MP/s), decode {min(ts_d)*1e3:.0f}ms "
-        f"({mp4k/min(ts_d):.1f} MP/s), round-trip {v_4k:.2f} MP/s")
+        jax_codec.decode_batch(s4k)                  # compile at 4K shapes
+        ts_e, ts_d = [], []
+        for _ in range(3):
+            t0 = time.time()
+            s4k = jax_codec.encode_batch(big4k)
+            ts_e.append(time.time() - t0)
+            t0 = time.time()
+            jax_codec.decode_batch(s4k)
+            ts_d.append(time.time() - t0)
+        mp4k = 4096 * 4096 / 1e6
+        v_4k = mp4k / (min(ts_e) + min(ts_d))
+        log(f"4K single image: encode {min(ts_e)*1e3:.0f}ms "
+            f"({mp4k/min(ts_e):.1f} MP/s), decode {min(ts_d)*1e3:.0f}ms "
+            f"({mp4k/min(ts_d):.1f} MP/s), round-trip {v_4k:.2f} MP/s")
+        result["roundtrip_4k_single"] = round(v_4k, 3)
+    except Exception as e:
+        log(f"4K measurement skipped: {e}")
 
     # ---- restart-free entropy decode (host; SURVEY 2.7a).  A single large
     # restart-free stream is the serial-chain worst case the reference
@@ -299,38 +340,7 @@ def measure(platform: str) -> dict:
     except Exception as e:  # no native runtime: skip the host-side number
         log(f"speculative decode measurement skipped: {e}")
 
-    # quality gate: streams must be valid JPEGs of reference quality.
-    # HARD assert (VERDICT r1): a silent quality regression must fail the
-    # bench, not hide behind a healthy MP/s number.
-    try:
-        from PIL import Image
-        import io
-    except ImportError:
-        Image = None
-    if Image is not None:
-        pil = np.asarray(Image.open(io.BytesIO(streams[0])).convert("RGB"))
-        mse = np.mean((pil.astype(float) - imgs[0].astype(float)) ** 2)
-        psnr = 10 * np.log10(255**2 / mse)
-        log(f"PIL-decoded PSNR vs source: {psnr:.2f} dB")
-        assert psnr >= 26.0, f"PSNR gate failed: {psnr:.2f} dB < 26 dB"
-
-    return {
-        "metric": (
-            "encode+decode 512x512 round-trip throughput "
-            f"(pipelined batches of {batch_n}, "
-            f"{'1 chip' if platform == 'tpu' else 'CPU FALLBACK - chip unreachable'})"
-        ),
-        "value": round(value, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(value / REF_ROUNDTRIP_MPS, 2),
-        "roundtrip_pipelined": round(v_pipelined, 3),
-        "roundtrip_serial": round(v_serial, 3),
-        "decode_transport": transport,
-        "decode_ms_ycc420": round(t_tr["ycc420"] * 1e3, 1),
-        "decode_ms_rgb": round(t_tr["rgb"] * 1e3, 1),
-        "roundtrip_4k_single": round(v_4k, 3),
-        "link_bound_halfduplex": round(bound_serial, 2),
-    }
+    return result
 
 
 def main():
@@ -356,13 +366,25 @@ def main():
                 [sys.executable, "-u", here], env=env, timeout=timeout,
                 stdout=subprocess.PIPE, stderr=sys.stderr,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             log(f"[bench] {platform} child timed out after {timeout}s")
-            continue
-        if res.returncode == 0 and res.stdout.strip():
-            sys.stdout.write(res.stdout.decode().strip().splitlines()[-1] + "\n")
+            res = None
+            out = (e.stdout or b"")
+        else:
+            out = res.stdout or b""
+            if res.returncode != 0:
+                log(f"[bench] {platform} child exited rc={res.returncode}")
+        # the child flushes its headline JSON as soon as it is known; take
+        # the LAST parseable JSON line even if the optional tail sections
+        # (4K, speculative) timed out or crashed afterwards
+        for line in reversed(out.decode(errors="replace").strip().splitlines()):
+            try:
+                json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            sys.stdout.write(line + "\n")
             return
-        log(f"[bench] {platform} child failed rc={res.returncode}")
+        log(f"[bench] {platform} child produced no JSON")
     print(json.dumps({
         "metric": "encode+decode 512x512 round-trip (chip and CPU runs failed)",
         "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
