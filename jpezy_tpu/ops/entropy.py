@@ -130,6 +130,30 @@ def symbol_histograms(qblocks: jnp.ndarray, dc_pred: jnp.ndarray):
     return dc_hist, ac_hist
 
 
+def _lookup_chain(table, idx, dtype=jnp.uint32):
+    """Gather-free small-table lookup: compare-select chain over entries.
+
+    XLA's general gather lowers catastrophically for per-element
+    small-table lookups on TPU (measured 366 ms vs 2.7 ms for a 162-entry
+    chain at [590k, 63] on the v5e); the chain fuses into one VPU pass.
+    table: [T] int array (constant or traced); idx: any-shape int array.
+    """
+    acc = jnp.zeros(idx.shape, dtype)
+    for t in range(table.shape[0]):
+        acc = jnp.where(idx == t, table[t].astype(dtype), acc)
+    return acc
+
+
+def _lookup_code_size(code_tb, size_tb, idx):
+    """(code[idx] uint32, size[idx] int32) via ONE packed select chain.
+
+    Codes are <= 16 bits and sizes <= 31, so (code << 8) | size packs into
+    one int; a single chain halves the lookup cost vs two."""
+    packed = (code_tb.astype(jnp.uint32) << 8) | size_tb.astype(jnp.uint32)
+    pv = _lookup_chain(packed, idx)
+    return pv >> 8, (pv & jnp.uint32(0xFF)).astype(jnp.int32)
+
+
 def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool,
                     tables=None):
     """[B, 64] quantized blocks -> merged emissions (hi, lo, nbits) [B, 64].
@@ -162,7 +186,8 @@ def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool,
     hi0 = jnp.zeros((B,), jnp.uint32)
     lo0 = jnp.zeros((B,), jnp.uint32)
     n0 = jnp.zeros((B,), jnp.int32)
-    hi0, lo0, n0 = _append(hi0, lo0, n0, dc_code[s], dc_size[s])
+    dcc, dcs = _lookup_code_size(dc_code, dc_size, s)
+    hi0, lo0, n0 = _append(hi0, lo0, n0, dcc, dcs)
     extra = (jnp.where(diff < 0, diff - 1, diff).astype(jnp.uint32)
              & (_shl32(jnp.uint32(1), s) - 1))
     hi0, lo0, n0 = _append(hi0, lo0, n0, extra, s)
@@ -178,9 +203,10 @@ def block_emissions(qblocks: jnp.ndarray, dc_pred: jnp.ndarray, chroma: bool,
         on = nz & (zrl_count > k)
         hi, lo, n = _append(hi, lo, n, jnp.where(on, zrl_c, 0),
                             jnp.where(on, zrl_s, 0))
+    acc_, acs_ = _lookup_code_size(ac_code, ac_size, idx)
     hi, lo, n = _append(hi, lo, n,
-                        jnp.where(nz, ac_code[idx], 0),
-                        jnp.where(nz, ac_size[idx], 0))
+                        jnp.where(nz, acc_, 0),
+                        jnp.where(nz, acs_, 0))
     extra_ac = (jnp.where(zz < 0, zz - 1, zz).astype(jnp.uint32)
                 & (_shl32(jnp.uint32(1), s_ac) - 1))
     hi, lo, n = _append(hi, lo, n, jnp.where(nz, extra_ac, 0),
