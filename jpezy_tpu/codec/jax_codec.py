@@ -362,7 +362,8 @@ def _concat_batch_combined(words, bits, restart_interval: int):
     if restart_interval:
         segb = 6 * restart_interval
         stream, total, seg_bits = jax.vmap(
-            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb)
+            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb,
+                                                  tiered=False)
         )(words, bits)
         return jnp.concatenate(
             [total[:, None].astype(jnp.uint32),

@@ -25,6 +25,7 @@ reformulation (cf. SURVEY.md section 2.7 and the GPU-JPEG literature):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import tables as T
@@ -248,10 +249,11 @@ def concat_device(words, bits, maxw: int):
     """
     goff = jnp.cumsum(bits) - bits
     total = goff[-1] + bits[-1]
-    return _scatter_stream(words, goff, maxw), total
+    return _scatter_stream(words, goff, bits, maxw), total
 
 
-def concat_device_restart(words, bits, maxw: int, seg_blocks: int):
+def concat_device_restart(words, bits, maxw: int, seg_blocks: int,
+                          tiered: bool = True):
     """Segmented concat_device for restart-interval encode (extension).
 
     Every `seg_blocks` consecutive blocks form one restart segment; each
@@ -274,12 +276,39 @@ def concat_device_restart(words, bits, maxw: int, seg_blocks: int):
     within = jnp.cumsum(bseg, axis=1) - bseg
     goff = (base[:, None] + within).reshape(-1)[:B]
     total = base[-1] + seg_span[-1]
-    return _scatter_stream(words, goff, maxw), total, seg_bits
+    return _scatter_stream(words, goff, bits, maxw, tiered), total, seg_bits
 
 
-def _scatter_stream(words, goff, maxw: int):
+# Scatter-add on this TPU costs ~9 ns per element regardless of locality,
+# so scattering the full 65-column contribution windows dominates the whole
+# encode program (56 of 64 ms/batch measured).  Blocks are short -- typical
+# content runs ~13 bits/block (max ~45), even noise maxes out near 200 --
+# so the window is trimmed to the narrowest column tier that provably
+# covers max(bits) + the 31-bit phase, picked at RUNTIME by lax.cond
+# (the untaken branches never execute).
+_SCATTER_TIERS = (4, 12)  # columns; tier C is valid when bits <= 32*C - 31
+
+
+def _scatter_tiered(scat, contrib, bits, ncols: int):
+    """stream = scat(contrib[..., :cols], cols) at the narrowest valid tier."""
+    mb = jnp.max(bits)
+    fn = lambda c: scat(c, ncols)  # noqa: E731  (full-width fallback)
+    for cols in reversed(_SCATTER_TIERS):
+        if cols >= ncols:
+            continue
+        fn = (lambda cols_, nxt: lambda c: jax.lax.cond(
+            mb <= 32 * cols_ - 31, lambda cc: scat(cc, cols_), nxt, c
+        ))(cols, fn)
+    return fn(contrib)
+
+
+def _scatter_stream(words, goff, bits, maxw: int, tiered: bool = True):
     """Funnel-shift each block's words to its global bit offset and
-    scatter-add into a [maxw] uint32 stream (see concat_device)."""
+    scatter-add into a [maxw] uint32 stream (see concat_device).
+
+    tiered=False skips the lax.cond window trim: under vmap a cond lowers
+    to select and EXECUTES every branch, so vmapped callers (the restart
+    batch paths) keep the single full-width scatter."""
     B, W = words.shape
     rr = (goff & 31).astype(jnp.uint32)
     q = goff >> 5
@@ -295,10 +324,17 @@ def _scatter_stream(words, goff, maxw: int):
     # explicit uint32: under x64 the shift expressions promote to uint64,
     # which a uint32 scatter-add rejects in future jax versions
     contrib = jnp.concatenate([shifted, carry], axis=1).astype(jnp.uint32)
-    idx = q[:, None] + jnp.arange(W + 1, dtype=q.dtype)[None, :]
-    return jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
-        contrib.reshape(-1), mode="drop"
-    )
+
+    def scat(c, cols):
+        cc = c[:, :cols]
+        idx = q[:, None] + jnp.arange(cols, dtype=q.dtype)[None, :]
+        return jnp.zeros((maxw,), jnp.uint32).at[idx.reshape(-1)].add(
+            cc.reshape(-1), mode="drop"
+        )
+
+    if not tiered:
+        return scat(contrib, W + 1)
+    return _scatter_tiered(scat, contrib, bits, W + 1)
 
 
 def concat_device_batch(words, bits, maxw: int):
@@ -321,12 +357,17 @@ def concat_device_batch(words, bits, maxw: int):
     ).astype(jnp.uint32)[..., None]
     contrib = jnp.concatenate([shifted, carry], axis=2).astype(jnp.uint32)
     img = jnp.arange(N, dtype=q.dtype)[:, None, None] * maxw
-    woff = q[..., None] + jnp.arange(W + 1, dtype=q.dtype)[None, None, :]
-    # spills past an image's budget go out of range -> dropped by mode="drop"
-    idx = jnp.where(woff < maxw, img + woff, N * maxw)
-    stream = jnp.zeros((N * maxw,), jnp.uint32).at[idx.reshape(-1)].add(
-        contrib.reshape(-1), mode="drop"
-    )
+
+    def scat(c, cols):
+        cc = c[..., :cols]
+        woff = q[..., None] + jnp.arange(cols, dtype=q.dtype)[None, None, :]
+        # spills past an image's budget go out of range -> mode="drop"
+        idx = jnp.where(woff < maxw, img + woff, N * maxw)
+        return jnp.zeros((N * maxw,), jnp.uint32).at[idx.reshape(-1)].add(
+            cc.reshape(-1), mode="drop"
+        )
+
+    stream = _scatter_tiered(scat, contrib, bits, W + 1)
     return stream.reshape(N, maxw), total
 
 

@@ -200,7 +200,8 @@ def _concat_local_combined(words, bits, maxw_shard: int, restart_interval: int):
     if restart_interval > 0:
         segb = 6 * restart_interval
         stream, total, seg_bits = jax.vmap(
-            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb)
+            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb,
+                                                  tiered=False)
         )(words, bits)
         comb = jnp.concatenate(
             [total[:, None].astype(jnp.uint32),
