@@ -319,22 +319,18 @@ def measure(platform: str) -> dict:
     except Exception as e:
         log(f"4K measurement skipped: {e}")
 
-    # ---- restart-free entropy decode (host; SURVEY 2.7a).  A single large
+    # ---- restart-free entropy decode (host; SURVEY 2.7).  A single large
     # restart-free stream is the serial-chain worst case the reference
     # embodies (jpezy_decoder.hpp:583-642).  The production path is the
-    # destuffed fast serial decoder; the speculative-resync decoder needs
-    # more threads than its S=6 hypothesis redundancy (it is gated off on
-    # narrow hosts -- this machine has 2 cores), so it is reported for the
-    # record, not as the default.
+    # destuffed fast serial decoder (the speculative-resync decoder was
+    # retired in round 4 after losing every measured race on this 2-core
+    # host -- docs/DESIGN.md section 5).
     try:
-        import os as _os
-
         from jpezy_tpu.bitstream.reader import parse as _parse
         from jpezy_tpu.runtime import native as _nat
 
         # dense content (noise) so the stream is entropy-heavy -- a smooth
-        # image decodes serially in single-digit ms and there is nothing
-        # to parallelize
+        # image decodes serially in single-digit ms
         rng = np.random.default_rng(99)
         big = rng.integers(0, 256, (2048, 2048, 3), np.uint8)
         bstream = jax_codec.encode(big[..., 0], big[..., 1], big[..., 2])
@@ -342,19 +338,12 @@ def measure(platform: str) -> dict:
         log(f"  (noise stream: {len(bstream)} bytes)")
         n_mcus = (2048 // 16) ** 2
         t0 = time.time()
-        ser = _nat.entropy_decode(pj, n_mcus)
+        _nat.entropy_decode(pj, n_mcus)
         t_ser = time.time() - t0
-        t0 = time.time()
-        spec, stats = _nat.decode_speculative(pj, n_mcus)
-        t_spec = time.time() - t0
-        assert all(np.array_equal(a, b) for a, b in zip(ser, spec))
         log(f"entropy decode 2048x2048 restart-free: fast serial "
-            f"{t_ser*1e3:.0f}ms; speculative {t_spec*1e3:.0f}ms on "
-            f"{_os.cpu_count()} cores ({stats['synced']} chunks adopted; "
-            f"needs >7 cores to amortize its 6-hypothesis scans, "
-            f"auto-disabled here)")
+            f"{t_ser*1e3:.0f}ms")
     except Exception as e:  # no native runtime: skip the host-side number
-        log(f"speculative decode measurement skipped: {e}")
+        log(f"entropy decode measurement skipped: {e}")
 
     return result
 
@@ -392,7 +381,7 @@ def main():
                 log(f"[bench] {platform} child exited rc={res.returncode}")
         # the child flushes its headline JSON as soon as it is known; take
         # the LAST parseable JSON line even if the optional tail sections
-        # (4K, speculative) timed out or crashed afterwards
+        # (4K, entropy tail) timed out or crashed afterwards
         for line in reversed(out.decode(errors="replace").strip().splitlines()):
             try:
                 json.loads(line)

@@ -716,285 +716,4 @@ void jz_ycc420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
     }
 }
 
-// ---------------------------------------------------------------------------
-// Speculative-resync parallel Huffman decode (restart-free streams).
-//
-// The TPU-native answer to the reference's strictly-serial bit stream
-// (SURVEY.md section 2.7): split the destuffed stream into chunks; decode
-// each chunk speculatively from its byte boundary under every component-
-// phase hypothesis (Huffman self-synchronizes); a cheap sequential stitch
-// pass finds where the true chain enters each chunk's recorded boundary
-// list (position+phase match is exact -- decoding is deterministic, so
-// there are no false positives); a final parallel pass re-decodes the
-// now-exactly-known block ranges.  Unsynced gaps fall back to serial.
-// ---------------------------------------------------------------------------
-
-namespace spec {
-
-struct Bits2 {
-    const uint8_t* d;
-    int64_t nbytes;
-    int64_t bit = 0;
-
-    inline uint64_t load64(int64_t byt) const {
-        uint64_t w;
-        if (byt + 8 <= nbytes) {
-            std::memcpy(&w, d + byt, 8);
-            return __builtin_bswap64(w);
-        }
-        w = 0;
-        for (int k = 0; k < 8; ++k)
-            w = (w << 8) | (uint64_t)(byt + k < nbytes ? d[byt + k] : 0);
-        return w;
-    }
-    inline uint32_t peek16() const {
-        int64_t byt = bit >> 3;
-        int sh = (int)(bit & 7);
-        return (uint32_t)((load64(byt) >> (48 - sh)) & 0xFFFF);
-    }
-    inline int32_t get(int k) {
-        int64_t byt = bit >> 3;
-        int sh = (int)(bit & 7);
-        int32_t v = (int32_t)((load64(byt) >> (64 - k - sh)) & ((1u << k) - 1));
-        bit += k;
-        return v;
-    }
-};
-
-// decode one block; blk[0] receives the DC *difference*.
-// returns 0 ok, -1 dead (invalid code / run overflow)
-inline int decode_block(Bits2& br, const int32_t* dlut, const int32_t* alut,
-                        const int32_t* zz, int16_t* blk) {
-    int32_t e = dlut[br.peek16()];
-    if (e < 0) return -1;
-    int cat = e >> 8;
-    br.bit += e & 0xFF;
-    int32_t dc = 0;
-    if (cat > 0) {
-        int32_t v = br.get(cat);
-        if (!(v & (1 << (cat - 1)))) v -= (1 << cat) - 1;
-        dc = v;
-    }
-    blk[0] = (int16_t)dc;
-    int kk = 1;
-    while (kk < 64) {
-        int32_t ae = alut[br.peek16()];
-        if (ae < 0) return -1;
-        int rs = ae >> 8;
-        br.bit += ae & 0xFF;
-        int run = rs >> 4, s = rs & 0x0F;
-        if (s == 0) {
-            if (run == 15) { kk += 16; continue; }
-            break;
-        }
-        kk += run;
-        if (kk > 63) return -1;
-        int32_t v = br.get(s);
-        if (!(v & (1 << (s - 1)))) v -= (1 << s) - 1;
-        blk[zz[kk]] = (int16_t)v;
-        ++kk;
-    }
-    return 0;
-}
-
-struct HypResult {
-    std::vector<int64_t> starts;  // block start bits; last = sentinel
-    bool dead = false;
-};
-
-}  // namespace spec
-
-int64_t jz_decode_speculative(
-    const uint8_t* data, long nbytes,
-    const int32_t* const* dc_luts, const int32_t* const* ac_luts,
-    const int32_t* zigzag,
-    int ncomp, const int32_t* comp_h, const int32_t* comp_v,
-    int64_t n_mcus,
-    int nchunks, int nthreads,
-    int16_t* const* out_coeffs,
-    int64_t* stats
-) {
-    using namespace spec;
-    // slot -> component map for one MCU
-    int S = 0;
-    int slot_comp[64];
-    for (int c = 0; c < ncomp; ++c)
-        for (int k = 0; k < comp_h[c] * comp_v[c]; ++k) slot_comp[S++] = c;
-    const int64_t total_blocks = n_mcus * S;
-    const int64_t total_bits = (int64_t)nbytes * 8;
-
-    if (nthreads <= 0) {
-        nthreads = (int)std::thread::hardware_concurrency();
-        if (nthreads <= 0) nthreads = 4;
-    }
-    if (nchunks <= 0) nchunks = nthreads;
-    if (nchunks < 2) nchunks = 2;
-    const int64_t chunk_bytes = (nbytes + nchunks - 1) / nchunks;
-
-    // ---- Pass A: speculative boundary scans, (chunk x hypothesis) tasks
-    std::vector<std::vector<HypResult>> hyps(nchunks);
-    for (auto& h : hyps) h.resize(S);
-
-    // A scan that dies (invalid code / run overflow) proves its start bit
-    // was not a block boundary under hypothesis h -- the true chain never
-    // errors.  Retry from the next bit offset: Huffman self-synchronization
-    // means a nearby offset survives and converges onto the true boundary
-    // lattice, which is exactly what the stitch needs.  Without the retry,
-    // most chunks never sync (a misaligned decode usually run-overflows
-    // within a few blocks) and the stitch degenerates to serial.
-    auto scan_task = [&](int k, int h) {
-        HypResult& res = hyps[k][h];
-        const int64_t start0 = (int64_t)k * chunk_bytes * 8;
-        const int64_t end_bit =
-            k + 1 < nchunks ? (int64_t)(k + 1) * chunk_bytes * 8 : total_bits;
-        int16_t scratch[64];
-        for (int attempt = 0; attempt < 256; ++attempt) {
-            if (start0 + attempt >= end_bit) break;
-            res.starts.clear();
-            Bits2 br{data, nbytes, start0 + attempt};
-            int phase = h;
-            bool died = false;
-            while (true) {
-                res.starts.push_back(br.bit);
-                if (br.bit >= end_bit || br.bit >= total_bits) break;
-                for (int j = 0; j < 64; ++j) scratch[j] = 0;
-                int c = slot_comp[phase];
-                if (decode_block(br, dc_luts[c], ac_luts[c], zigzag,
-                                 scratch) < 0) {
-                    died = true;
-                    break;
-                }
-                phase = phase + 1 == S ? 0 : phase + 1;
-            }
-            if (!died) return;  // surviving scan recorded (sentinel last)
-        }
-        res.dead = true;
-        res.starts.clear();
-    };
-
-    {
-        std::vector<std::thread> pool;
-        int total_tasks = nchunks * S;
-        int per = (total_tasks + nthreads - 1) / nthreads;
-        for (int t = 0; t < nthreads; ++t) {
-            int t0 = t * per, t1 = t0 + per < total_tasks ? t0 + per : total_tasks;
-            if (t0 >= t1) break;
-            pool.emplace_back([&, t0, t1]() {
-                for (int i = t0; i < t1; ++i) scan_task(i / S, i % S);
-            });
-        }
-        for (auto& th : pool) th.join();
-    }
-
-    // ---- Stitch: walk the true chain, adopting recorded boundary runs
-    std::vector<int64_t> bounds;  // true block start bits (total_blocks + 1)
-    bounds.reserve(total_blocks + 1);
-    int64_t pos = 0;
-    int phase = 0;
-    int64_t serial_bits = 0;
-    int synced = 0;
-    Bits2 sbr{data, nbytes, 0};
-    int16_t scratch[64];
-
-    while ((int64_t)bounds.size() < total_blocks) {
-        if (pos >= total_bits + 64) return -2;  // ran off the stream
-        int k = (int)(pos / 8 / chunk_bytes);
-        if (k >= nchunks) k = nchunks - 1;
-        bool adopted = false;
-        // search each hypothesis of chunk k for (pos, phase)
-        for (int h = 0; h < S && !adopted; ++h) {
-            const HypResult& res = hyps[k][h];
-            // a dead hypothesis cannot contain a true boundary (the true
-            // chain never hits an invalid code)
-            if (res.dead || res.starts.size() < 2) continue;
-            const auto& st = res.starts;
-            long lo = 0, hi = (long)st.size() - 1;
-            while (lo < hi) {
-                long mid = (lo + hi) / 2;
-                if (st[mid] < pos) lo = mid + 1; else hi = mid;
-            }
-            if (st[lo] != pos) continue;
-            if ((h + lo) % S != phase) continue;
-            // adopt boundaries lo..end-1 (last entry is the sentinel)
-            long navail = (long)st.size() - 1 - lo;
-            long j = 0;
-            for (; j < navail && (int64_t)bounds.size() < total_blocks; ++j) {
-                bounds.push_back(st[lo + j]);
-                phase = phase + 1 == S ? 0 : phase + 1;
-            }
-            pos = st[lo + j];  // next boundary (the sentinel when j == navail)
-            ++synced;
-            adopted = true;
-        }
-        if (!adopted) {
-            // serial fallback: decode one block, emit boundary
-            sbr.bit = pos;
-            int c = slot_comp[phase];
-            for (int j = 0; j < 64; ++j) scratch[j] = 0;
-            if (decode_block(sbr, dc_luts[c], ac_luts[c], zigzag, scratch) < 0)
-                return -3;
-            bounds.push_back(pos);
-            serial_bits += sbr.bit - pos;
-            pos = sbr.bit;
-            phase = phase + 1 == S ? 0 : phase + 1;
-        }
-    }
-    bounds.push_back(pos);
-    if (stats) { stats[0] = synced; stats[1] = serial_bits; }
-
-    // ---- Pass B: parallel exact re-decode of known block ranges
-    int64_t per_blocks = (total_blocks + nthreads - 1) / nthreads;
-    std::vector<std::thread> pool;
-    for (int t = 0; t < nthreads; ++t) {
-        int64_t b0 = (int64_t)t * per_blocks;
-        int64_t b1 = b0 + per_blocks < total_blocks ? b0 + per_blocks
-                                                    : total_blocks;
-        if (b0 >= b1) break;
-        pool.emplace_back([&, t, b0, b1]() {
-            Bits2 br{data, nbytes, 0};
-            for (int64_t i = b0; i < b1; ++i) {
-                int ph = (int)(i % S);
-                int c = slot_comp[ph];
-                int64_t mcu = i / S;
-                // block index within component
-                int slot_in_comp = 0;
-                for (int p2 = 0; p2 < ph; ++p2)
-                    if (slot_comp[p2] == c) ++slot_in_comp;
-                int64_t bidx = mcu * comp_h[c] * comp_v[c] + slot_in_comp;
-                int16_t* blk = out_coeffs[c] + bidx * 64;
-                br.bit = bounds[i];
-                decode_block(br, dc_luts[c], ac_luts[c], zigzag, blk);
-            }
-        });
-    }
-    for (auto& th : pool) th.join();
-
-    // sequential DC carry fix: convert diffs to absolute values.
-    // walk ranges in order, adding the carry at each range start.
-    {
-        int64_t carry[4] = {0, 0, 0, 0};
-        for (int t = 0; t < nthreads; ++t) {
-            int64_t b0 = (int64_t)t * per_blocks;
-            int64_t b1 = b0 + per_blocks < total_blocks ? b0 + per_blocks
-                                                        : total_blocks;
-            if (b0 >= b1) break;
-            int64_t local[4] = {carry[0], carry[1], carry[2], carry[3]};
-            for (int64_t i = b0; i < b1; ++i) {
-                int ph = (int)(i % S);
-                int c = slot_comp[ph];
-                int64_t mcu = i / S;
-                int slot_in_comp = 0;
-                for (int p2 = 0; p2 < ph; ++p2)
-                    if (slot_comp[p2] == c) ++slot_in_comp;
-                int64_t bidx = mcu * comp_h[c] * comp_v[c] + slot_in_comp;
-                int16_t* blk = out_coeffs[c] + bidx * 64;
-                local[c] += blk[0];
-                blk[0] = (int16_t)local[c];
-            }
-            for (int c = 0; c < 4; ++c) carry[c] = local[c];
-        }
-    }
-    return n_mcus;
-}
-
 }  // extern "C"

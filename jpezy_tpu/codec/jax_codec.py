@@ -731,31 +731,6 @@ def plane_to_gray(y, *, precision="fast"):
     return C.clamp_gray(y, _dtype(precision))
 
 
-def _use_speculative(pj: ParsedJpeg, n_mcus: int) -> bool:
-    """Route restart-free streams to the speculative parallel decoder?
-
-    The speculative scan does S hypothesis decodes per chunk (S = blocks
-    per MCU, 6 for 4:2:0 color), so its total work is ~S serial decodes:
-    it can only WIN when the thread pool is wider than S.  On narrow hosts
-    (this machine has 2 cores) it loses by construction, so the gate
-    requires ncores > S + 1; the restart-free default there is the fast
-    destuffed serial decoder (runtime/native.py), which is ~3x the old
-    serial path.  JPEZY_SPEC_DECODE=1/0 forces on/off (tests use this).
-    """
-    import os
-
-    force = os.environ.get("JPEZY_SPEC_DECODE")
-    if force is not None:
-        return force == "1"
-    if pj.restart_interval:
-        return False  # restart segments already decode thread-parallel
-    ncores = os.cpu_count() or 1
-    entropy_bytes = len(pj.data) - pj.entropy_start
-    # blocks per MCU = the hypothesis count the scan must amortize
-    S = sum(fc.H * fc.V for fc in pj.frame_components)
-    return ncores > S + 1 and n_mcus >= 4096 and entropy_bytes >= (2 << 20)
-
-
 def _decode_entropy_batch(pjs: list[ParsedJpeg]) -> list[list[np.ndarray]]:
     """Entropy-decode a batch of parsed streams, thread-parallel across
     images (the C++ frontend releases the GIL during the ctypes call, so
@@ -773,12 +748,14 @@ def _decode_entropy_batch(pjs: list[ParsedJpeg]) -> list[list[np.ndarray]]:
 def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
     """Host entropy frontend: Huffman decode -> [B, 64] blocks/component.
 
-    Native C++ paths (fastest first): restart-segment thread-parallel decode
-    when the stream has DRI/RSTn; speculative-resync parallel decode for
-    large restart-free streams on multi-core hosts (SURVEY.md section 2.7
-    option (a), the referent being the strictly serial bit chain at
-    jpezy_decoder.hpp:583-642); serial LUT decode otherwise.  Numpy LUT
-    decoder as the no-native fallback.
+    Native C++ paths: restart-segment thread-parallel decode when the
+    stream has DRI/RSTn; the destuffed branchless-refill serial LUT decode
+    otherwise (the referent being the strictly serial bit chain at
+    jpezy_decoder.hpp:583-642).  Restart-free single streams are
+    irreducibly serial per stream on a narrow host (docs/DESIGN.md section
+    5 records the retired speculative-resync experiment); batches decode
+    thread-parallel ACROSS images instead.  Numpy LUT decoder as the
+    no-native fallback.
     """
     from . import oracle as _o
 
@@ -793,12 +770,6 @@ def decode_entropy_host(pj: ParsedJpeg) -> list[np.ndarray]:
     try:
         from ..runtime import native
 
-        if not pj.restart_interval and _use_speculative(pj, n_mcus):
-            try:
-                blocks, _stats = native.decode_speculative(pj, n_mcus)
-                return blocks
-            except RuntimeError:
-                pass  # unsynced/failed: fall through to the serial scanner
         return native.entropy_decode(pj, n_mcus)
     except (ImportError, OSError, RuntimeError):
         pass

@@ -104,14 +104,6 @@ def get_lib() -> ctypes.CDLL:
             c_u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             c_i8p, c_i8p, c_i8p, ctypes.c_int,
         ]
-        lib.jz_decode_speculative.restype = ctypes.c_int64
-        lib.jz_decode_speculative.argtypes = [
-            c_u8p, ctypes.c_long,
-            ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
-            c_i32p, ctypes.c_int, c_i32p, c_i32p,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(c_i16p), c_i64p,
-        ]
         lib.jz_entropy_decode_mt.restype = ctypes.c_int64
         lib.jz_entropy_decode_mt.argtypes = [
             c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
@@ -305,53 +297,6 @@ def ycc420_to_rgb_batch(ys: np.ndarray, cbs: np.ndarray, crs: np.ndarray,
     lib.jz_ycc420_to_rgb_batch(
         _u8p(ys), _u8p(cbs), _u8p(crs), N, H, W, _u8p(out), nthreads)
     return out
-
-
-def decode_speculative(pj, n_mcus: int, *, nchunks: int = 0,
-                       nthreads: int = 0) -> tuple[list[np.ndarray], dict]:
-    """Parallel entropy decode of a restart-FREE stream by speculative resync.
-
-    Returns (per-component [B, 64] int16 blocks, stats dict with 'synced'
-    chunk-adoption count and 'serial_bits' fallback work).
-    """
-    from ..core import tables as T
-
-    lib = get_lib()
-    ncomp = len(pj.scan_components)
-    dc_luts = [_huff_lut(pj.huff[0][sc.Td]) for sc in pj.scan_components]
-    ac_luts = [_huff_lut(pj.huff[1][sc.Ta]) for sc in pj.scan_components]
-    comp_h = np.array([fc.H for fc in pj.frame_components], dtype=np.int32)
-    comp_v = np.array([fc.V for fc in pj.frame_components], dtype=np.int32)
-    outs = [
-        np.zeros((n_mcus * int(comp_h[i] * comp_v[i]), 64), dtype=np.int16)
-        for i in range(ncomp)
-    ]
-
-    raw = np.frombuffer(pj.data, dtype=np.uint8)[pj.entropy_start :]
-    raw = np.ascontiguousarray(raw)
-    destuffed = np.empty(len(raw), dtype=np.uint8)
-    consumed = ctypes.c_long(0)
-    n_destuffed = lib.jz_destuff(
-        _u8p(raw), len(raw), _u8p(destuffed), ctypes.byref(consumed)
-    )
-
-    P = ctypes.POINTER(ctypes.c_int32)
-    P16 = ctypes.POINTER(ctypes.c_int16)
-    dc_arr = (P * ncomp)(*[_i32p(a) for a in dc_luts])
-    ac_arr = (P * ncomp)(*[_i32p(a) for a in ac_luts])
-    out_arr = (P16 * ncomp)(*[a.ctypes.data_as(P16) for a in outs])
-    zz = np.ascontiguousarray(T.ZIGZAG, dtype=np.int32)
-    stats = np.zeros(2, dtype=np.int64)
-
-    rc = lib.jz_decode_speculative(
-        _u8p(destuffed), int(n_destuffed), dc_arr, ac_arr, _i32p(zz),
-        ncomp, _i32p(comp_h), _i32p(comp_v),
-        n_mcus, nchunks, nthreads, out_arr,
-        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
-    if rc != n_mcus:
-        raise RuntimeError(f"speculative decode failed: rc={rc}")
-    return outs, {"synced": int(stats[0]), "serial_bits": int(stats[1])}
 
 
 def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:

@@ -115,67 +115,6 @@ class TestEntropyDecode:
         assert np.abs(r1.astype(int) - r2.astype(int)).max() <= 1
 
 
-class TestSpeculativeDecode:
-    """Speculative-resync parallel decode of restart-free streams must be
-    bit-identical to the serial frontend (SURVEY.md section 2.7)."""
-
-    @pytest.mark.parametrize("hw", [(64, 48), (256, 320), (41, 67)])
-    def test_matches_serial(self, hw):
-        from imagegen import make_test_image
-        from jpezy_tpu.bitstream.reader import parse
-
-        h, w = hw
-        img = make_test_image(h, w, seed=h + w)
-        data = oracle.encode(img[..., 0], img[..., 1], img[..., 2])
-        pj = parse(data)
-        nm = ((h + 15) // 16) * ((w + 15) // 16)
-        ref = native.entropy_decode(pj, nm)
-        got, stats = native.decode_speculative(pj, nm, nchunks=8)
-        for a, b in zip(ref, got):
-            assert np.array_equal(a, b)
-        assert stats["synced"] >= 1
-
-    def test_gray_stream(self, small_rgb):
-        from jpezy_tpu.bitstream.reader import parse
-
-        data = oracle.encode(
-            small_rgb[..., 0], small_rgb[..., 1], small_rgb[..., 2], gray=True
-        )
-        pj = parse(data)
-        ref = native.entropy_decode(pj, 12)
-        got, _ = native.decode_speculative(pj, 12, nchunks=4)
-        for a, b in zip(ref, got):
-            assert np.array_equal(a, b)
-
-    def test_routed_main_path_matches_serial(self, small_rgb, monkeypatch):
-        """decode_entropy_host routes restart-free streams to the
-        speculative decoder (JPEZY_SPEC_DECODE toggles); both routes must
-        be bit-identical on our own and foreign (PIL) streams."""
-        import io
-
-        from jpezy_tpu.codec.jax_codec import decode_entropy_host
-        from jpezy_tpu.bitstream.reader import parse
-
-        streams = [oracle.encode(*split(small_rgb))]
-        try:
-            from PIL import Image
-
-            buf = io.BytesIO()
-            Image.fromarray(small_rgb).save(buf, "JPEG", quality=80,
-                                            optimize=True)
-            streams.append(buf.getvalue())
-        except ImportError:
-            pass
-        for data in streams:
-            pj = parse(data)
-            monkeypatch.setenv("JPEZY_SPEC_DECODE", "0")
-            ref = decode_entropy_host(pj)
-            monkeypatch.setenv("JPEZY_SPEC_DECODE", "1")
-            got = decode_entropy_host(pj)
-            for a, b in zip(ref, got):
-                assert np.array_equal(a, b)
-
-
 class TestRgbToYcc420:
     def test_matches_numpy_float64(self):
         """Native encode-side color transport == the numpy float64 path
