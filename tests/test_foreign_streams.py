@@ -44,10 +44,24 @@ class TestPilStreams:
         assert psnr(ours, pil) > 28.0
 
     def test_oracle_decode_agrees(self, small_rgb, subsampling, quality):
+        # rgb transport (reference clamp order): only f32-vs-f64 ties left
+        data = pil_jpeg(small_rgb, quality=quality, subsampling=subsampling)
+        r1, g1, b1, _ = jax_codec.decode(data, transport="rgb")
+        r2, g2, b2, _ = oracle.decode(data)
+        assert np.abs(r1.astype(int) - r2.astype(int)).max() <= 1
+
+    def test_default_transport_within_clamp_envelope(self, small_rgb,
+                                                     subsampling, quality):
+        """Default fast transport on FOREIGN streams: the clamp-before-
+        color envelope (pinned adversarially in test_jax_codec) plus
+        f32 ties; must stay small and PSNR-neutral on natural content."""
         data = pil_jpeg(small_rgb, quality=quality, subsampling=subsampling)
         r1, g1, b1, _ = jax_codec.decode(data)
         r2, g2, b2, _ = oracle.decode(data)
-        assert np.abs(r1.astype(int) - r2.astype(int)).max() <= 1
+        d = np.abs(np.stack([r1, g1, b1]).astype(int)
+                   - np.stack([r2, g2, b2]).astype(int))
+        assert d.max() <= 16
+        assert (d > 1).mean() < 0.01
 
 
 class TestOptimizedTables:
