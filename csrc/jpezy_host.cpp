@@ -78,6 +78,67 @@ long jz_find_restarts(const uint8_t* d, long n, int64_t* out, long cap) {
 }
 
 // ---------------------------------------------------------------------------
+// Destuff each restart segment into fixed-stride rows (prep for the DEVICE
+// entropy decoder, jpezy_tpu/ops/entropy_decode.py: segments decode in
+// lockstep from a [nseg, L] byte matrix).  seg_offsets[s] = byte offset of
+// segment s's entropy data; each segment ends at its next marker.  out is
+// caller-zeroed [nseg * L]; rows stay zero-padded.  Multithreaded over
+// segments.  Returns the max destuffed length, or -(s+1) if segment s
+// overflowed L.
+// ---------------------------------------------------------------------------
+long jz_destuff_segments(const uint8_t* d, long n,
+                         const int64_t* seg_offsets, long nseg,
+                         uint8_t* out, long L, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    std::vector<long> maxlen((size_t)nthreads, 0);
+    std::vector<long> err((size_t)nthreads, 0);
+    auto work = [&](int t, long s0, long s1) {
+        for (long s = s0; s < s1; ++s) {
+            long i = seg_offsets[s];
+            uint8_t* row = out + s * L;
+            long o = 0;
+            while (i < n) {
+                uint8_t b = d[i];
+                if (b == 0xFF) {
+                    if (i + 1 < n && d[i + 1] == 0x00) {
+                        if (o >= L) { err[t] = s + 1; break; }
+                        row[o++] = 0xFF;
+                        i += 2;
+                        continue;
+                    }
+                    break;  // marker ends the segment
+                }
+                if (o >= L) { err[t] = s + 1; break; }
+                row[o++] = b;
+                ++i;
+            }
+            if (o > maxlen[t]) maxlen[t] = o;
+        }
+    };
+    if (nthreads == 1 || nseg < 16) {
+        work(0, 0, nseg);
+    } else {
+        long per = (nseg + nthreads - 1) / nthreads;
+        std::vector<std::thread> threads;
+        for (int t = 0; t < nthreads; ++t) {
+            long s0 = (long)t * per, s1 = s0 + per < nseg ? s0 + per : nseg;
+            if (s0 >= s1) break;
+            threads.emplace_back(work, t, s0, s1);
+        }
+        for (auto& th : threads) th.join();
+    }
+    long mx = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        if (err[t]) return -err[t];
+        if (maxlen[t] > mx) mx = maxlen[t];
+    }
+    return mx;
+}
+
+// ---------------------------------------------------------------------------
 // ASCII integer scanning (PPM P3 parse).  Returns count of ints written.
 // ---------------------------------------------------------------------------
 long jz_scan_ints_i32(const char* s, long n, int32_t* out, long cap) {

@@ -104,6 +104,11 @@ def get_lib() -> ctypes.CDLL:
             c_u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             c_i8p, c_i8p, c_i8p, ctypes.c_int,
         ]
+        lib.jz_destuff_segments.restype = ctypes.c_long
+        lib.jz_destuff_segments.argtypes = [
+            c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
+            c_u8p, ctypes.c_long, ctypes.c_int,
+        ]
         lib.jz_entropy_decode_mt.restype = ctypes.c_int64
         lib.jz_entropy_decode_mt.argtypes = [
             c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
@@ -249,6 +254,41 @@ def sparsify8(dense: np.ndarray, k: int = 10):
         cap = B  # extremely dense content: one retry with full capacity
     idx = ovf[:n]
     return mask_lo, mask_hi, vals, idx, dense[idx]
+
+
+def find_restart_offsets(data: np.ndarray, n_mcus: int,
+                         restart_interval: int) -> np.ndarray:
+    """Segment start offsets [nseg] int64 into entropy `data` (segment 0 at
+    0, then one per RSTn marker).  Raises on a marker-count mismatch."""
+    lib = get_lib()
+    nseg = -(-n_mcus // restart_interval)
+    marks = np.zeros(nseg + 1, dtype=np.int64)
+    nmarks = lib.jz_find_restarts(
+        _u8p(data), len(data),
+        marks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nseg + 1)
+    if nmarks != nseg - 1:
+        raise ValueError(
+            f"expected {nseg - 1} restart markers, found {nmarks}")
+    offsets = np.zeros(nseg, dtype=np.int64)
+    offsets[1:] = marks[: nseg - 1]
+    return offsets
+
+
+def destuff_segments(data: np.ndarray, seg_offsets: np.ndarray,
+                     out_rows: np.ndarray, nthreads: int = 0) -> int:
+    """Destuff each restart segment into zero-padded rows of out_rows
+    [nseg, L] uint8 (caller-zeroed).  Returns max destuffed length."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    seg_offsets = np.ascontiguousarray(seg_offsets, np.int64)
+    nseg, L = out_rows.shape
+    rc = lib.jz_destuff_segments(
+        _u8p(data), len(data),
+        seg_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nseg,
+        _u8p(out_rows), L, nthreads)
+    if rc < 0:
+        raise ValueError(f"segment {-rc - 1} overflowed the row stride {L}")
+    return int(rc)
 
 
 def rgb_to_ycc420(rgbs: np.ndarray, nthreads: int = 0):

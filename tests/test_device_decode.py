@@ -1,0 +1,127 @@
+"""Device-side entropy decode (transport='device') vs the host frontend.
+
+The device decoder (ops/entropy_decode.py) must reproduce the host C++
+frontend bit-for-bit on restart-interval streams: same canonical walk,
+sign extension (T.81 F.2.2.1), ZRL/EOB control, de-zigzag and per-segment
+DC predictor resets (referent: jpezy_decoder.hpp:583-642,152-163).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpezy_tpu.codec import jax_codec
+from jpezy_tpu.bitstream.reader import parse
+
+native = pytest.importorskip("jpezy_tpu.runtime.native")
+try:
+    native.get_lib()
+except Exception:
+    pytest.skip("g++ build unavailable", allow_module_level=True)
+
+
+def split(rgb):
+    return rgb[..., 0], rgb[..., 1], rgb[..., 2]
+
+
+class TestDecodeSegments:
+    """The raw lockstep kernel against the host entropy decoder."""
+
+    @pytest.mark.parametrize("ri,hw,seed", [
+        (2, (64, 48), 0), (4, (64, 80), 1), (3, (48, 48), 2),
+    ])
+    def test_blocks_bitexact_vs_host(self, ri, hw, seed):
+        from imagegen import make_test_image
+        from jpezy_tpu.ops.entropy_decode import (
+            build_decode_lut, decode_segments)
+
+        h, w = hw
+        img = make_test_image(h, w, seed=seed)
+        data = jax_codec.encode(*split(img), restart_interval=ri)
+        pj = parse(data)
+        nmcu = ((h + 15) // 16) * ((w + 15) // 16)
+        ref = native.entropy_decode(pj, nmcu)      # host C++ frontend
+
+        d = np.frombuffer(pj.data, np.uint8)[pj.entropy_start:]
+        offs = native.find_restart_offsets(d, nmcu, ri)
+        nseg = len(offs)
+        ends = np.append(offs[1:], len(d))
+        L = 64
+        while L < int((ends - offs).max()) + 8:
+            L *= 2
+        rows = np.zeros((nseg, L), np.uint8)
+        native.destuff_segments(d, offs, rows)
+        words = rows.view(">u4").astype("=u4")
+        nblk = (np.minimum(ri, nmcu - np.arange(nseg) * ri) * 6).astype(
+            np.int32)
+        blocks = np.asarray(decode_segments(
+            jnp.asarray(words), jnp.asarray(nblk),
+            jnp.asarray(build_decode_lut(pj.huff)), max_blocks=ri * 6))
+
+        b6 = blocks.reshape(nseg * ri, 6, 64)[:nmcu]
+        got = [b6[:, :4].reshape(nmcu * 4, 64), b6[:, 4], b6[:, 5]]
+        for c in range(3):
+            assert np.array_equal(got[c], ref[c]), f"component {c}"
+
+    def test_noise_content_wide_coefficients(self):
+        """Noise maxes out coefficient magnitudes and symbol counts (no
+        sparse-overflow concept on this path -- int16 all the way)."""
+        from jpezy_tpu.ops.entropy_decode import (
+            build_decode_lut, decode_segments)
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        data = jax_codec.encode(*split(img), restart_interval=1)
+        pj = parse(data)
+        nmcu = 16
+        ref = native.entropy_decode(pj, nmcu)
+        d = np.frombuffer(pj.data, np.uint8)[pj.entropy_start:]
+        offs = native.find_restart_offsets(d, nmcu, 1)
+        ends = np.append(offs[1:], len(d))
+        L = 64
+        while L < int((ends - offs).max()) + 8:
+            L *= 2
+        rows = np.zeros((nmcu, L), np.uint8)
+        native.destuff_segments(d, offs, rows)
+        blocks = np.asarray(decode_segments(
+            jnp.asarray(rows.view(">u4").astype("=u4")),
+            jnp.full(nmcu, 6, np.int32),
+            jnp.asarray(build_decode_lut(pj.huff)), max_blocks=6))
+        b6 = blocks.reshape(nmcu, 6, 64)
+        got = [b6[:, :4].reshape(nmcu * 4, 64), b6[:, 4], b6[:, 5]]
+        for c in range(3):
+            assert np.array_equal(got[c], ref[c]), f"component {c}"
+
+
+class TestDeviceTransport:
+    def test_batch_matches_ycc420_transport(self):
+        from imagegen import make_test_image
+
+        batch = np.stack([make_test_image(64, 64, seed=i) for i in range(3)])
+        streams = jax_codec.encode_batch(batch, restart_interval=2)
+        a, _ = jax_codec.decode_batch(streams, transport="device")
+        b, _ = jax_codec.decode_batch(streams, transport="ycc420")
+        assert np.array_equal(a, b)
+
+    def test_single_image(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb), restart_interval=2)
+        ra, ga, ba, _ = jax_codec.decode(data, transport="device")
+        rb, gb, bb, _ = jax_codec.decode(data, transport="ycc420")
+        assert np.array_equal(np.stack([ra, ga, ba]),
+                              np.stack([rb, gb, bb]))
+
+    def test_rejects_restart_free(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb))
+        with pytest.raises(ValueError):
+            jax_codec.decode_batch([data], transport="device")
+
+    def test_tail_segment(self):
+        """nmcu not divisible by the restart interval: the last segment
+        decodes fewer MCUs and the padding blocks stay zero."""
+        from imagegen import make_test_image
+
+        img = make_test_image(48, 80, seed=9)      # 15 MCUs
+        data = jax_codec.encode(*split(img), restart_interval=4)
+        ra = np.stack(jax_codec.decode(data, transport="device")[:3])
+        rb = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(ra, rb)
