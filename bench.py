@@ -111,6 +111,30 @@ def measure(platform: str) -> dict:
     t_dec1 = min(ts)
     log(f"single encode: {t_enc1*1000:.1f}ms ({mp/t_enc1:.1f} MP/s)")
     log(f"single decode: {t_dec1*1000:.1f}ms ({mp/t_dec1:.1f} MP/s)")
+    # reference core encode 42 ms + decode 55 ms = 97 ms (README.md:52,76);
+    # VERDICT r3 #2: the single-image path must beat the reference at N=1
+    t_single_rt = t_enc1 + t_dec1
+    log(f"single round-trip: {t_single_rt*1e3:.1f}ms "
+        f"(reference core: 97ms; {'BEATS' if t_single_rt < 0.097 else 'LOSES TO'}"
+        f" the reference)")
+
+    # ---- comparative quality gates (VERDICT r3 #3 'missing'): the fast
+    # path must match the exact/oracle path's PSNR on the same stream, not
+    # just an absolute floor.  oracle.decode pins the reference's double-
+    # precision decode semantics bit-for-bit.
+    from jpezy_tpu.codec import oracle as _oracle
+
+    rf, gf, bf, _ = jax_codec.decode(data)              # fast default path
+    ro, go, bo, _ = _oracle.decode(data)                # reference-exact
+    src = img.astype(np.float64)
+    fast = np.stack([rf, gf, bf], -1).astype(np.float64)
+    exact = np.stack([ro, go, bo], -1).astype(np.float64)
+    psnr_fast = 10 * np.log10(255**2 / np.mean((fast - src) ** 2))
+    psnr_exact = 10 * np.log10(255**2 / np.mean((exact - src) ** 2))
+    log(f"decode quality: fast path {psnr_fast:.3f} dB vs reference-exact "
+        f"{psnr_exact:.3f} dB (gate: fast >= exact - 0.1)")
+    assert psnr_fast >= psnr_exact - 0.1, \
+        f"fast-path PSNR regressed: {psnr_fast:.3f} < {psnr_exact:.3f} - 0.1"
 
     # ---- batched pipeline (production path, one fetch per batch).
     # Decode is measured on BOTH transports (VERDICT r2 #1) and the faster
@@ -158,6 +182,34 @@ def measure(platform: str) -> dict:
         "note": "checkpoint before pipelined sections",
     }), flush=True)
 
+    # ---- restart-interval streams + DEVICE entropy decode (VERDICT r3
+    # #3): our own production streams carry DRI so the WHOLE decode
+    # (including the Huffman frontend) can run on device -- raw entropy
+    # bytes up (~0.07 B/px) instead of sparse coefficients (~0.6 B/px).
+    RI = 8                                  # 8 MCUs/segment: 128 seg/image
+    streams_ri = jax_codec.encode_batch(batches[0], restart_interval=RI)
+    log(f"restart streams (DRI={RI}): {sum(map(len, streams_ri))} bytes "
+        f"vs {sum(map(len, streams))} restart-free "
+        f"(+{(sum(map(len, streams_ri))/sum(map(len, streams))-1)*100:.1f}%)")
+    t_ri = {}
+    for tr in ("device", "ycc420"):
+        jax_codec.decode_batch(streams_ri, transport=tr)    # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out_ri, _ = jax_codec.decode_batch(streams_ri, transport=tr)
+            ts.append(time.time() - t0)
+        t_ri[tr] = min(ts)
+        log(f"batched decode x{batch_n} restart streams [{tr}]: "
+            f"{t_ri[tr]*1e3:.0f}ms ({batch_n*mp/t_ri[tr]:.1f} MP/s)")
+    tr_ri = min(t_ri, key=t_ri.get)
+    t0 = time.time()
+    streams_ri = jax_codec.encode_batch(batches[0], restart_interval=RI)
+    t_benc_ri = time.time() - t0
+    v_serial_ri = batch_n * mp / (t_benc_ri + t_ri[tr_ri])
+    log(f"round-trip (restart streams, serial, decode={tr_ri}): "
+        f"{v_serial_ri:.2f} MP/s")
+
     # ---- stage attribution + device-only throughput (VERDICT r1 #1):
     # split one batch encode into host color / upload / device / fetch and
     # report MFU for the DCT matmuls from the static cost model.
@@ -203,64 +255,192 @@ def measure(platform: str) -> dict:
         f"HBM {hbm*100:.1f}% of peak), "
         f"fetch {t_fetch*1e3:.0f}ms ({np.asarray(out0[0]).nbytes/2**20:.1f} MiB)")
 
-    # ---- pipelined steady state (overlap uploads/downloads/compute):
-    # every image is encoded to complete JFIF bytes on host and re-decoded
-    # from those bytes; batches are kept in flight.
-    from jpezy_tpu.runtime import pipeline
+    # ---- decode attribution + device-only decode throughput (VERDICT r3
+    # #4): mirror the encode attribution for BOTH decode backends.
+    from jpezy_tpu.bitstream.reader import parse as _parse
+    from jpezy_tpu.codec.jax_codec import (
+        _decode_fused_batch_device, _decode_fused_batch_ycc420,
+        _device_host_frontend, _ycc420_host_frontend)
+    from jpezy_tpu.core.geometry import ComponentGeometry
 
-    # The tunnel's bandwidth is shared and bursty (occasional multi-second
-    # stalls), so take the best of several passes, like the min-of-5 above.
-    n_meas = 4
-    for _ in pipeline.roundtrip_batches(iter(batches[:2]),
-                                        transport=transport):
-        pass                                        # warm the pipeline path
-    value = 0.0
-    for rep, la in enumerate((1, 2, 2, 2)):
-        t0 = time.time()
-        got = 0
-        for streams, pix in pipeline.roundtrip_batches(
-                (batches[i % 2] for i in range(n_meas)), lookahead=la,
-                transport=transport):
-            got += len(streams)
-            assert pix.shape[1:] == (h, w, 3)
-        t_pipe = time.time() - t0
-        v = got * mp / t_pipe
-        log(f"round-trip (pipelined x{n_meas} batches, lookahead={la}, "
-            f"pass {rep}): {t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
-        value = max(value, v)
-    v_pipelined = value
-    # the tunnel's burstiness sometimes makes the serial-batched config the
-    # faster of the two real round-trip paths; the headline is the best one,
-    # but both configurations are reported separately so results stay
-    # comparable across revisions (ADVICE r1)
-    value = max(v_pipelined, v_serial)
+    def _geom_meta(p0):
+        geos = [ComponentGeometry(fc.H, fc.V, p0.hmax, p0.vmax,
+                                  p0.props.width, p0.props.height)
+                for fc in p0.frame_components]
+        geom = tuple((geos[0].mcus_y, geos[0].mcus_x, fc.V, fc.H,
+                      geos[i].dup_y, geos[i].dup_x)
+                     for i, fc in enumerate(p0.frame_components))
+        qt = tuple(tuple(int(x) for x in p0.quant[fc.Tq])
+                   for fc in p0.frame_components)
+        return geos, geom, qt
 
-    # ---- link ceiling proof (VERDICT r1 #1): measure raw host<->device
-    # bandwidth with dedicated probes and derive the hard bound the link
-    # puts on any round-trip pipeline.  The round trip must move >=1.5 B/px
-    # up (int8 YCC 4:2:0 planes) and >=1.5 B/px down (same planes back);
-    # coefficient upload and word fetch are extra, so these bounds are
-    # optimistic for the pipeline.
+    def _bracket(fn, fetch_probe, K=8):
+        loops = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(K):
+                outk = fn()
+            _ = np.asarray(fetch_probe(outk))
+            loops.append(time.time() - t0)
+        return max(1e-4, (min(loops) - rtt) / K)
+
+    from jpezy_tpu.utils.profiling import encode_flops as _eflops
+    fl_dec = _eflops(w, h)                  # IDCT FLOPs == DCT FLOPs
+
+    # (a) ycc420 sparse transport on the standard streams
+    pjs = [_parse(s) for s in streams]
+    t0 = time.time()
+    flat_host, shapes, caps = _ycc420_host_frontend(pjs)
+    t_front = time.time() - t0
+    _, geom, qtuple = _geom_meta(pjs[0])
+    t0 = time.time()
+    flat_dev = jax.block_until_ready(jnp.asarray(flat_host))
+    t_up_d = time.time() - t0
+    run = lambda: _decode_fused_batch_ycc420(
+        flat_dev, geom=geom, level=128, shapes=shapes, K=10,
+        N=batch_n, caps=caps, qtuple=qtuple)
+    out_d = run(); jax.block_until_ready(out_d)         # compile/warm
+    t_dev_d = _bracket(run, lambda o: o[0, :1])
+    t0 = time.time(); packed_host = np.asarray(out_d)
+    t_fetch_d = time.time() - t0
+    from jpezy_tpu.codec.jax_codec import _decode_batch_ycc420_finish
+    t0 = time.time()
+    _decode_batch_ycc420_finish(("ycc420", packed_host, pjs[0].props,
+                                 batch_n, geom[0][1], geom[0][0]))
+    t_tail = time.time() - t0
+    mfu_d = batch_n * fl_dec["dct_flops"] / t_dev_d / 394e12
+    hbm_d = batch_n * fl_dec["hbm_bytes"] / t_dev_d / 819e9
+    log(f"decode attribution x{batch_n} [ycc420]: host frontend "
+        f"{t_front*1e3:.0f}ms, upload {t_up_d*1e3:.0f}ms "
+        f"({flat_host.nbytes/2**20:.2f} MiB), device {t_dev_d*1e3:.1f}ms"
+        f"/batch ({batch_n*mp/t_dev_d:.0f} MP/s device-only, IDCT MFU "
+        f"{mfu_d*100:.4f}%, HBM {hbm_d*100:.1f}%), fetch {t_fetch_d*1e3:.0f}"
+        f"ms ({packed_host.nbytes/2**20:.1f} MiB), host color tail "
+        f"{t_tail*1e3:.0f}ms")
+    dec_attr = {"front_ms": round(t_front * 1e3, 1),
+                "device_ms": round(t_dev_d * 1e3, 2),
+                "device_mps": round(batch_n * mp / t_dev_d, 1)}
+
+    # (b) device transport on the restart streams (Huffman ON device)
+    pjs_ri = [_parse(s) for s in streams_ri]
+    nmcu = geom[0][0] * geom[0][1]
+    nseg = -(-nmcu // RI)
+    t0 = time.time()
+    words_h, nblk_h = _device_host_frontend(pjs_ri, nmcu, RI, nseg)
+    t_front_ri = time.time() - t0
+    t0 = time.time()
+    words_dev = jax.block_until_ready(jnp.asarray(words_h))
+    nblk_dev = jax.block_until_ready(jnp.asarray(nblk_h))
+    t_up_ri = time.time() - t0
+    from jpezy_tpu.ops.entropy_decode import build_decode_lut, device_lut
+    lut_dev = device_lut(build_decode_lut(pjs_ri[0].huff))
+    run_ri = lambda: _decode_fused_batch_device(
+        words_dev, nblk_dev, lut_dev, N=batch_n, nseg=nseg, ri=RI,
+        geom=geom, level=128, qtuple=qtuple)
+    out_ri2 = run_ri(); jax.block_until_ready(out_ri2)
+    t_dev_ri = _bracket(run_ri, lambda o: o[0, :1])
+    t0 = time.time(); _ = np.asarray(out_ri2); t_fetch_ri = time.time() - t0
+    log(f"decode attribution x{batch_n} [device, DRI={RI}]: host destuff "
+        f"{t_front_ri*1e3:.0f}ms, upload {t_up_ri*1e3:.0f}ms "
+        f"({words_h.nbytes/2**20:.2f} MiB entropy bytes), device (incl "
+        f"Huffman) {t_dev_ri*1e3:.1f}ms/batch ({batch_n*mp/t_dev_ri:.0f} "
+        f"MP/s device-only), fetch {t_fetch_ri*1e3:.0f}ms")
+    dec_attr["device_transport_ms"] = round(t_dev_ri * 1e3, 2)
+    dec_attr["device_transport_upload_mib"] = round(
+        words_h.nbytes / 2**20, 2)
+
+    # ---- link duplex proof (VERDICT r3 #1): serial bandwidths, then one
+    # thread uploading while another fetches -- does the tunnel overlap?
+    import threading
+
     probe = np.random.default_rng(1).integers(
         0, 255, 8 << 20, dtype=np.uint8)
     ups, downs = [], []
-    for _ in range(3):
+    fetch_srcs = []
+    for i in range(3):
         t0 = time.time()
         darr = jax.block_until_ready(jnp.asarray(probe))
         ups.append(time.time() - t0)
         t0 = time.time()
         _ = np.asarray(darr)
         downs.append(time.time() - t0)
-        del darr
+        fetch_srcs.append(jax.block_until_ready(jnp.asarray(probe + i)))
     up_bw = probe.nbytes / min(ups)
     down_bw = probe.nbytes / min(downs)
+    NCONC = 3
+    barrier = threading.Barrier(2)
+
+    def _upw():
+        barrier.wait()
+        for _ in range(NCONC):
+            jax.block_until_ready(jnp.asarray(probe))
+
+    def _downw():
+        barrier.wait()
+        for i in range(NCONC):
+            np.asarray(fetch_srcs[i])
+
+    th1 = threading.Thread(target=_upw); th2 = threading.Thread(target=_downw)
+    t0 = time.time(); th1.start(); th2.start(); th1.join(); th2.join()
+    t_conc = time.time() - t0
+    t_serial_pred = NCONC * (min(ups) + min(downs))
+    t_duplex_pred = NCONC * max(min(ups), min(downs))
+    overlap = (t_serial_pred - t_conc) / max(1e-9,
+                                             t_serial_pred - t_duplex_pred)
+    overlap = max(0.0, min(1.0, overlap))
+    # per-batch round-trip bytes actually moved by the best configs
     bound_serial = 1.0 / (1.5e6 / up_bw + 1.5e6 / down_bw)
     bound_duplex = 1.0 / max(1.5e6 / up_bw, 1.5e6 / down_bw)
+    # the proven bound interpolates by the MEASURED overlap capability
+    t_px = (1 - overlap) * (1.5e6 / up_bw + 1.5e6 / down_bw) \
+        + overlap * max(1.5e6 / up_bw, 1.5e6 / down_bw)
+    bound_proven = 1.0 / t_px
     log(f"link probe (8 MiB): upload {up_bw/2**20:.1f} MiB/s, fetch "
-        f"{down_bw/2**20:.1f} MiB/s -> round-trip ceiling "
-        f"{bound_serial:.1f} MP/s (half-duplex) .. {bound_duplex:.1f} MP/s "
-        f"(full overlap); pipelined achieved {v_pipelined:.2f} MP/s = "
-        f"{v_pipelined/bound_serial*100:.0f}% of the half-duplex bound")
+        f"{down_bw/2**20:.1f} MiB/s; concurrent up+down {t_conc:.2f}s vs "
+        f"serialized prediction {t_serial_pred:.2f}s / duplex prediction "
+        f"{t_duplex_pred:.2f}s -> measured overlap {overlap*100:.0f}% -> "
+        f"round-trip bound {bound_proven:.1f} MP/s (half-duplex "
+        f"{bound_serial:.1f}, full-duplex {bound_duplex:.1f})")
+
+    # ---- pipelined steady state: thread-staged pipeline (runtime/
+    # pipeline.py) overlapping host work and transfers across batches.
+    # Configs: standard streams, and restart streams with the device
+    # entropy decoder (less upload, less host work).  Every image is
+    # encoded to complete JFIF bytes and re-decoded from those bytes.
+    from jpezy_tpu.runtime import pipeline
+
+    n_meas = 4
+    for _ in pipeline.roundtrip_batches(iter(batches[:2]),
+                                        transport=transport):
+        pass                                        # warm the pipeline path
+    v_pipelined = 0.0
+    best_cfg = None
+    configs = [
+        ("std, la=1", dict(lookahead=1, transport=transport)),
+        ("std, la=2", dict(lookahead=2, transport=transport)),
+        (f"DRI={RI}+device, la=1",
+         dict(lookahead=1, transport="device", restart_interval=RI)),
+        (f"DRI={RI}+device, la=2",
+         dict(lookahead=2, transport="device", restart_interval=RI)),
+    ]
+    for rep, (name, kw) in enumerate(configs + configs[-2:-1]):
+        t0 = time.time()
+        got = 0
+        for streams_p, pix in pipeline.roundtrip_batches(
+                (batches[i % 2] for i in range(n_meas)), **kw):
+            got += len(streams_p)
+            assert pix.shape[1:] == (h, w, 3)
+        t_pipe = time.time() - t0
+        v = got * mp / t_pipe
+        log(f"round-trip (pipelined x{n_meas} batches, {name}, pass "
+            f"{rep}): {t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
+        if v > v_pipelined:
+            v_pipelined, best_cfg = v, name
+    log(f"pipelined best: {v_pipelined:.2f} MP/s [{best_cfg}] = "
+        f"{v_pipelined/bound_proven*100:.0f}% of the measured-overlap "
+        f"bound ({v_pipelined/bound_serial*100:.0f}% of half-duplex); "
+        f"serial batched {v_serial:.2f}, restart-serial {v_serial_ri:.2f}")
+    value = max(v_pipelined, v_serial, v_serial_ri)
 
     # quality gate (moved before the optional sections): streams must be
     # valid JPEGs of reference quality.  HARD assert (VERDICT r1): a silent
@@ -283,11 +463,21 @@ def measure(platform: str) -> dict:
         "unit": "MP/s",
         "vs_baseline": round(value / REF_ROUNDTRIP_MPS, 2),
         "roundtrip_pipelined": round(v_pipelined, 3),
+        "pipelined_config": best_cfg,
         "roundtrip_serial": round(v_serial, 3),
+        "roundtrip_serial_restart": round(v_serial_ri, 3),
         "decode_transport": transport,
         "decode_ms_ycc420": round(t_tr["ycc420"] * 1e3, 1),
         "decode_ms_rgb": round(t_tr["rgb"] * 1e3, 1),
+        "decode_ms_device": round(t_ri["device"] * 1e3, 1),
+        "single_roundtrip_ms": round(t_single_rt * 1e3, 1),
+        "single_beats_reference": bool(t_single_rt < 0.097),
+        "psnr_fast_db": round(psnr_fast, 3),
+        "psnr_exact_db": round(psnr_exact, 3),
+        "decode_attribution": dec_attr,
+        "link_overlap_pct": round(overlap * 100, 1),
         "link_bound_halfduplex": round(bound_serial, 2),
+        "link_bound_proven": round(bound_proven, 2),
     }
     # the headline is now known: flush it so a timeout in the optional
     # sections below (4K compiles through a congested tunnel can take

@@ -25,7 +25,9 @@ Usage: python scripts/scaling.py [--devices N] [--batch N] [--size HxW]
 
 The driver-facing artifact (SCALING_r0N.json) is produced each round with:
     python scripts/scaling.py --cpu --devices 8 --batch 8 --size 1024x512 \
-        --json SCALING_r0N.json
+        --big 4352x2048 --json SCALING_r0N.json
+(--big adds a single-image tile-sharding run at 8K-class MCU-row counts so
+the DC-carry ppermute chain is exercised at realistic depth.)
 """
 from __future__ import annotations
 
@@ -43,7 +45,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", default="512x512")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--big", default=None, metavar="HxW",
+                    help="extra single-image tile-sharding run at this size "
+                         "(e.g. 4320x7680 for an 8K-class DC-carry chain)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -117,49 +122,110 @@ def main() -> int:
             host_times[key].append(t2 - t1)
             times[key].append(t2 - t0)
             assert len(streams) == args.batch
+    # statistics (VERDICT r3 #6): median +- IQR spread per config instead
+    # of single-run minima; overheads within the combined noise band are
+    # flagged instead of projecting an efficiency to one decimal.
+    def stats(xs):
+        xs = sorted(xs)
+        med = float(np.median(xs))
+        iqr = float(np.percentile(xs, 75) - np.percentile(xs, 25))
+        return med, iqr
+
+    t_base_iqr = None
     t_base_dev = None
     for key in meshes:
         n, data, tile = key
-        dt = min(times[key])
-        dt_dev = min(dev_times[key])
-        dt_host = min(host_times[key])
+        dt, dt_iqr = stats(times[key])
+        dt_dev, dt_dev_iqr = stats(dev_times[key])
+        dt_host, _ = stats(host_times[key])
         ips = args.batch / dt
         if t_base is None:
-            t_base = dt
+            t_base, t_base_iqr = dt, dt_iqr
             t_base_dev = dt_dev
         row = {
             "devices": n, "data": data, "tile": tile,
+            "reps": len(times[key]),
             "images_per_s": round(ips, 2),
+            "wall_ms_median": round(dt * 1e3, 1),
+            "wall_ms_iqr": round(dt_iqr * 1e3, 1),
             "speedup": round(t_base / dt, 3),
-            "device_ms": round(dt_dev * 1e3, 1),
-            "host_splice_ms": round(dt_host * 1e3, 1),
+            "device_ms_median": round(dt_dev * 1e3, 1),
+            "device_ms_iqr": round(dt_dev_iqr * 1e3, 1),
+            "host_splice_ms_median": round(dt_host * 1e3, 1),
         }
         if shared_cores:
             # same physical cores for every mesh size: measure the cost the
-            # sharded program ADDS, and project efficiency for real chips
-            # (see module docstring).  Both columns reported: including the
-            # host splice (conservative) and device-only (the splice
-            # shards across hosts on a pod).
+            # sharded program ADDS over the unsharded base.  The noise band
+            # is the combined IQR of the two configs being differenced; an
+            # overhead inside the band is reported as such, and only the
+            # CONSERVATIVE efficiency bound (overhead at the top of the
+            # band) is projected -- no point estimates from noise.
             overhead = dt - t_base
-            overhead_dev = dt_dev - t_base_dev
-            proj = 100.0 / (1.0 + n * max(0.0, overhead) / t_base)
-            proj_dev = 100.0 / (1.0 + n * max(0.0, overhead_dev) / t_base_dev)
+            noise = dt_iqr + t_base_iqr
+            over_hi = max(0.0, overhead + noise)
+            proj_lo = 100.0 / (1.0 + n * over_hi / t_base)
             row["overhead_pct"] = round(overhead / t_base * 100, 1)
-            row["overhead_device_pct"] = round(
-                overhead_dev / t_base_dev * 100, 1)
-            row["projected_efficiency_pct"] = round(proj, 1)
-            row["projected_efficiency_device_pct"] = round(proj_dev, 1)
+            row["overhead_noise_pct"] = round(noise / t_base * 100, 1)
+            row["overhead_within_noise"] = bool(abs(overhead) <= noise)
+            row["projected_efficiency_floor_pct"] = round(proj_lo, 1)
+            band = ("within noise" if row["overhead_within_noise"]
+                    else "significant")
             print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s, "
-                  f"sharding overhead {row['overhead_pct']:+6.1f}% "
-                  f"(device-only {row['overhead_device_pct']:+6.1f}%), "
-                  f"projected multi-chip efficiency {proj:5.1f}% "
-                  f"(device-only {proj_dev:5.1f}%)")
+                  f"overhead {row['overhead_pct']:+6.1f}% "
+                  f"+- {row['overhead_noise_pct']:.1f}% ({band}); "
+                  f"projected multi-chip efficiency floor {proj_lo:5.1f}%")
         else:
             eff = (t_base / dt) / n * 100
             row["efficiency_pct"] = round(eff, 1)
             print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
                   f"(x{t_base/dt:4.1f}, efficiency {eff:5.1f}%)")
         results.append(row)
+
+    # ---- large-image tile-sharding run (VERDICT r3 #6): exercise the
+    # DC-carry ppermute chain at realistic MCU-row counts (an 8K image has
+    # 270+ MCU rows) instead of only the small batched shapes above.
+    if args.big:
+        bh, bw = (int(x) for x in args.big.split("x"))
+        big_img = make_test_image(bh, bw, seed=77)[None]
+        big_cfgs = [(1, 1, 1)]
+        if (bh // 16) % ndev == 0:
+            big_cfgs.append((ndev, 1, ndev))
+        big_times = {}
+        for key in big_cfgs:
+            n, data, tile = key
+            mesh = make_mesh(data=data, tile=tile)
+            encode_sharded(mesh, big_img)          # compile
+            big_times[key] = []
+        for _ in range(args.reps):
+            for key in big_cfgs:
+                n, data, tile = key
+                mesh = make_mesh(data=data, tile=tile)
+                t0 = time.time()
+                streams = encode_sharded(mesh, big_img)
+                big_times[key].append(time.time() - t0)
+                assert len(streams) == 1
+        base_med, base_iqr = stats(big_times[big_cfgs[0]])
+        for key in big_cfgs:
+            n, data, tile = key
+            med, iqr = stats(big_times[key])
+            overhead = med - base_med
+            noise = iqr + base_iqr
+            row = {
+                "big_image": args.big, "devices": n, "data": data,
+                "tile": tile, "reps": len(big_times[key]),
+                "mcu_rows": bh // 16,
+                "wall_ms_median": round(med * 1e3, 1),
+                "wall_ms_iqr": round(iqr * 1e3, 1),
+            }
+            if n > 1:
+                row["overhead_pct"] = round(overhead / base_med * 100, 1)
+                row["overhead_noise_pct"] = round(noise / base_med * 100, 1)
+                row["overhead_within_noise"] = bool(abs(overhead) <= noise)
+            print(f"big {args.big} mesh tile={tile}: "
+                  f"{med*1e3:8.1f}ms +- {iqr*1e3:.1f}ms"
+                  + (f", overhead {row.get('overhead_pct'):+.1f}%"
+                     if n > 1 else " (base)"))
+            results.append(row)
     if args.json:
         payload = {
             "backend": jax.default_backend(),
@@ -167,13 +233,15 @@ def main() -> int:
             "note": (
                 "CPU virtual mesh: all devices share the same physical "
                 "cores, so images/s cannot grow with mesh size; "
-                "overhead_pct is the extra wall time sharding adds for the "
-                "same total work, and projected_efficiency_pct = "
-                "1/(1 + N*overhead/t_base) projects strong-scaling "
-                "efficiency on real chips where the per-MCU compute "
-                "divides (the only cross-shard coupling is the DC-carry "
-                "ppermute). Conservative: the overhead term includes the "
-                "host splice, which also shards across hosts on a pod."
+                "overhead_pct (median of reps, +- IQR-based noise band) is "
+                "the extra wall time sharding adds for the same total "
+                "work; overhead_within_noise flags differences the run "
+                "cannot resolve. projected_efficiency_floor_pct = "
+                "1/(1 + N*max(0, overhead+noise)/t_base) is a LOWER bound "
+                "on strong-scaling efficiency for real chips (per-MCU "
+                "compute divides; the only cross-shard coupling is the "
+                "DC-carry ppermute), computed from the top of the noise "
+                "band -- no point estimates from noise."
                 if shared_cores else
                 "real multi-device run: efficiency_pct is measured "
                 "strong-scaling efficiency"),
