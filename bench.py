@@ -203,9 +203,12 @@ def measure(platform: str) -> dict:
         log(f"batched decode x{batch_n} restart streams [{tr}]: "
             f"{t_ri[tr]*1e3:.0f}ms ({batch_n*mp/t_ri[tr]:.1f} MP/s)")
     tr_ri = min(t_ri, key=t_ri.get)
-    t0 = time.time()
-    streams_ri = jax_codec.encode_batch(batches[0], restart_interval=RI)
-    t_benc_ri = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        streams_ri = jax_codec.encode_batch(batches[0], restart_interval=RI)
+        ts.append(time.time() - t0)
+    t_benc_ri = min(ts)
     v_serial_ri = batch_n * mp / (t_benc_ri + t_ri[tr_ri])
     log(f"round-trip (restart streams, serial, decode={tr_ri}): "
         f"{v_serial_ri:.2f} MP/s")
@@ -409,25 +412,33 @@ def measure(platform: str) -> dict:
     # encoded to complete JFIF bytes and re-decoded from those bytes.
     from jpezy_tpu.runtime import pipeline
 
-    n_meas = 4
     for _ in pipeline.roundtrip_batches(iter(batches[:2]),
                                         transport=transport):
         pass                                        # warm the pipeline path
+    # batch 32 halves the per-MP share of the fixed per-transfer RTT
+    # (~25 ms x 4 transfers/batch); same images, one compile per shape
+    batches32 = [np.concatenate([batches[0], batches[1]]),
+                 np.concatenate([batches[1], batches[0]])]
     v_pipelined = 0.0
     best_cfg = None
     configs = [
-        ("std, la=1", dict(lookahead=1, transport=transport)),
-        ("std, la=2", dict(lookahead=2, transport=transport)),
-        (f"DRI={RI}+device, la=1",
+        ("std, la=1, n=16", 16, dict(lookahead=1, transport=transport)),
+        (f"DRI={RI}+device, la=1, n=16", 16,
          dict(lookahead=1, transport="device", restart_interval=RI)),
-        (f"DRI={RI}+device, la=2",
+        (f"DRI={RI}+device, la=2, n=16", 16,
+         dict(lookahead=2, transport="device", restart_interval=RI)),
+        (f"DRI={RI}+device, la=2, n=32", 32,
+         dict(lookahead=2, transport="device", restart_interval=RI)),
+        (f"DRI={RI}+device, la=2, n=32", 32,
          dict(lookahead=2, transport="device", restart_interval=RI)),
     ]
-    for rep, (name, kw) in enumerate(configs + configs[-2:-1]):
+    for rep, (name, bn, kw) in enumerate(configs):
+        src_batches = batches32 if bn == 32 else batches
+        n_meas = 6 if bn == 16 else 3
         t0 = time.time()
         got = 0
         for streams_p, pix in pipeline.roundtrip_batches(
-                (batches[i % 2] for i in range(n_meas)), **kw):
+                (src_batches[i % 2] for i in range(n_meas)), **kw):
             got += len(streams_p)
             assert pix.shape[1:] == (h, w, 3)
         t_pipe = time.time() - t0

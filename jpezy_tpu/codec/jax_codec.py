@@ -1021,16 +1021,26 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
         ncomp == 3
         and [(fc.H, fc.V) for fc in p0.frame_components] == [(2, 2), (1, 1), (1, 1)]
     )
-    if transport is None:
+    auto = transport is None
+    if auto:
         transport = "ycc420" if (precision == "fast" and std420 and not gray) \
             else "rgb"
-    if transport == "device":
+    if transport == "device" or (auto and transport == "ycc420"
+                                 and p0.restart_interval > 0):
+        # restart streams auto-pick the full device decode (identical
+        # pixels to ycc420, ~7x less upload, Huffman off the host); auto
+        # mode falls back on any ineligibility, explicit mode raises
         if not (std420 and not gray and precision == "fast"):
             raise ValueError(
                 "transport='device' supports fast-precision standard 4:2:0 "
                 "color streams only")
-        return _decode_batch_device_dispatch(
-            pjs, p0, geos, mcus_x, mcus_y, level)
+        try:
+            return _decode_batch_device_dispatch(
+                pjs, p0, geos, mcus_x, mcus_y, level)
+        except (ImportError, ValueError):
+            if not auto:
+                raise
+            # fall through to the ycc420 transport
     if transport == "ycc420" and std420 and not gray:
         try:
             return _decode_batch_ycc420_dispatch(
@@ -1250,16 +1260,27 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
         and [(fc.H, fc.V) for fc in pj.frame_components]
         == [(2, 2), (1, 1), (1, 1)]
     )
-    if transport is None:
+    auto = transport is None
+    if auto:
         transport = "ycc420" if (precision == "fast" and std420
                                  and not gray) else "rgb"
+        if transport == "ycc420" and pj.restart_interval > 0:
+            transport = "device"   # identical pixels, ~7x less upload
     if transport in ("ycc420", "device") and std420 and not gray:
         try:
             with phase("entropy frontend + sparse upload (dispatch)..."):
-                dispatch = (_decode_batch_device_dispatch
-                            if transport == "device"
-                            else _decode_batch_ycc420_dispatch)
-                ticket = dispatch([pj], pj, geos, mcus_x, mcus_y, level)
+                try:
+                    dispatch = (_decode_batch_device_dispatch
+                                if transport == "device"
+                                else _decode_batch_ycc420_dispatch)
+                    ticket = dispatch([pj], pj, geos, mcus_x, mcus_y, level)
+                except (ImportError, ValueError):
+                    if not auto or transport != "device":
+                        raise
+                    # auto device pick ineligible (e.g. nonstandard table
+                    # ids on a foreign stream): use the sparse transport
+                    ticket = _decode_batch_ycc420_dispatch(
+                        [pj], pj, geos, mcus_x, mcus_y, level)
             with phase("device backend + fetch + color tail..."):
                 out, _ = _decode_batch_ycc420_finish(ticket)
             out = out[0]

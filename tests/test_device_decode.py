@@ -125,3 +125,42 @@ class TestDeviceTransport:
         ra = np.stack(jax_codec.decode(data, transport="device")[:3])
         rb = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
         assert np.array_equal(ra, rb)
+
+
+class TestAutoPick:
+    def test_restart_streams_default_to_device(self, small_rgb, monkeypatch):
+        """transport=None on restart streams routes to the device decoder
+        (identical pixels; verified by spying on the dispatch)."""
+        calls = []
+        orig = jax_codec._decode_batch_device_dispatch
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(jax_codec, "_decode_batch_device_dispatch", spy)
+        data = jax_codec.encode(*split(small_rgb), restart_interval=2)
+        auto = np.stack(jax_codec.decode(data)[:3])
+        assert calls, "device dispatch not used for a restart stream"
+        ref = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(auto, ref)
+
+    def test_auto_falls_back_when_ineligible(self, small_rgb, monkeypatch):
+        """Auto mode degrades to the sparse transport if the device path
+        rejects the stream (foreign table layouts etc.)."""
+        def boom(*a, **k):
+            raise ValueError("nonstandard")
+
+        monkeypatch.setattr(jax_codec, "_decode_batch_device_dispatch", boom)
+        data = jax_codec.encode(*split(small_rgb), restart_interval=2)
+        out = np.stack(jax_codec.decode(data)[:3])          # must not raise
+        ref = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(out, ref)
+        streams = [data, data]
+        pix, _ = jax_codec.decode_batch(streams)            # batch path too
+        assert np.array_equal(pix[0].transpose(2, 0, 1), ref)
+
+    def test_explicit_device_on_ineligible_raises(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb))          # no DRI
+        with pytest.raises(ValueError):
+            jax_codec.decode(data, transport="device")
