@@ -154,32 +154,51 @@ def main() -> int:
             "host_splice_ms_median": round(dt_host * 1e3, 1),
         }
         if shared_cores:
-            # same physical cores for every mesh size: measure the cost the
-            # sharded program ADDS over the unsharded base.  The noise band
-            # is the combined IQR of the two configs being differenced; an
-            # overhead inside the band is reported as such, and only the
-            # CONSERVATIVE efficiency bound (overhead at the top of the
-            # band) is projected -- no point estimates from noise.
-            overhead = dt - t_base
-            noise = dt_iqr + t_base_iqr
-            over_hi = max(0.0, overhead + noise)
-            proj_lo = 100.0 / (1.0 + n * over_hi / t_base)
-            row["overhead_pct"] = round(overhead / t_base * 100, 1)
-            row["overhead_noise_pct"] = round(noise / t_base * 100, 1)
-            row["overhead_within_noise"] = bool(abs(overhead) <= noise)
-            row["projected_efficiency_floor_pct"] = round(proj_lo, 1)
-            band = ("within noise" if row["overhead_within_noise"]
-                    else "significant")
-            print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s, "
-                  f"overhead {row['overhead_pct']:+6.1f}% "
-                  f"+- {row['overhead_noise_pct']:.1f}% ({band}); "
-                  f"projected multi-chip efficiency floor {proj_lo:5.1f}%")
+            # Round-4 finding: each VIRTUAL device gets its own XLA
+            # executor thread, so any sharded config runs faster than the
+            # 1-device base until the PHYSICAL cores saturate -- "overhead
+            # vs the unsharded base" is the wrong comparison (round 3
+            # reported it and got nonsense negative overheads).  What the
+            # shared-core host CAN measure is the cost of the cross-shard
+            # COUPLING: tile sharding (DC-carry ppermute + per-shard
+            # concat) vs data sharding (zero coupling) at the SAME device
+            # count -- computed after the loop once both configs exist.
+            row["speedup_vs_1dev"] = row.pop("speedup")
+            print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
+                  f"(x{t_base/dt:4.2f} vs 1 device on "
+                  f"{os.cpu_count()} physical cores)")
         else:
             eff = (t_base / dt) / n * 100
             row["efficiency_pct"] = round(eff, 1)
             print(f"mesh data={data} tile={tile}: {ips:8.1f} images/s "
                   f"(x{t_base/dt:4.1f}, efficiency {eff:5.1f}%)")
         results.append(row)
+
+    if shared_cores:
+        # tile-vs-data coupling cost at equal device counts (see above)
+        by_key = {(r["data"], r["tile"]): r for r in results}
+        for n in sorted({r["devices"] for r in results if r["devices"] > 1}):
+            rt, rd = by_key.get((1, n)), by_key.get((n, 1))
+            if not rt or not rd:
+                continue
+            t_t, t_d = rt["wall_ms_median"], rd["wall_ms_median"]
+            noise = rt["wall_ms_iqr"] + rd["wall_ms_iqr"]
+            delta = (t_t - t_d) / t_d * 100
+            within = abs(t_t - t_d) <= noise
+            cost_hi = max(0.0, (t_t - t_d + noise) / t_d)
+            floor = 100.0 / (1.0 + cost_hi)
+            row = {
+                "coupling_devices": n,
+                "tile_vs_data_pct": round(delta, 1),
+                "noise_pct": round(noise / t_d * 100, 1),
+                "within_noise": bool(within),
+                "tile_efficiency_floor_pct": round(floor, 1),
+            }
+            print(f"coupling cost @ {n} devices (tile vs data sharding): "
+                  f"{delta:+.1f}% +- {row['noise_pct']:.1f}% "
+                  f"({'within noise' if within else 'significant'}); "
+                  f"tile-axis efficiency floor {floor:.1f}%")
+            results.append(row)
 
     # ---- large-image tile-sharding run (VERDICT r3 #6): exercise the
     # DC-carry ppermute chain at realistic MCU-row counts (an 8K image has
@@ -208,8 +227,6 @@ def main() -> int:
         for key in big_cfgs:
             n, data, tile = key
             med, iqr = stats(big_times[key])
-            overhead = med - base_med
-            noise = iqr + base_iqr
             row = {
                 "big_image": args.big, "devices": n, "data": data,
                 "tile": tile, "reps": len(big_times[key]),
@@ -218,12 +235,18 @@ def main() -> int:
                 "wall_ms_iqr": round(iqr * 1e3, 1),
             }
             if n > 1:
-                row["overhead_pct"] = round(overhead / base_med * 100, 1)
-                row["overhead_noise_pct"] = round(noise / base_med * 100, 1)
-                row["overhead_within_noise"] = bool(abs(overhead) <= noise)
+                # same virtual-device thread effect as above: >1x speedup
+                # on shared cores proves the deep DC-carry chain (hundreds
+                # of MCU rows crossing every shard boundary) does not
+                # serialize the tile shards -- the multi-chip-relevant
+                # claim at this depth
+                row["speedup_vs_1dev"] = round(base_med / med, 3)
+                row["speedup_noise"] = round(
+                    (base_iqr + iqr) / med, 3)
             print(f"big {args.big} mesh tile={tile}: "
                   f"{med*1e3:8.1f}ms +- {iqr*1e3:.1f}ms"
-                  + (f", overhead {row.get('overhead_pct'):+.1f}%"
+                  + (f", x{row.get('speedup_vs_1dev'):.2f} vs 1 device "
+                     f"(DC-carry chain depth {bh//16} MCU rows)"
                      if n > 1 else " (base)"))
             results.append(row)
     if args.json:
@@ -233,15 +256,17 @@ def main() -> int:
             "note": (
                 "CPU virtual mesh: all devices share the same physical "
                 "cores, so images/s cannot grow with mesh size; "
-                "overhead_pct (median of reps, +- IQR-based noise band) is "
-                "the extra wall time sharding adds for the same total "
-                "work; overhead_within_noise flags differences the run "
-                "cannot resolve. projected_efficiency_floor_pct = "
-                "1/(1 + N*max(0, overhead+noise)/t_base) is a LOWER bound "
-                "on strong-scaling efficiency for real chips (per-MCU "
-                "compute divides; the only cross-shard coupling is the "
-                "DC-carry ppermute), computed from the top of the noise "
-                "band -- no point estimates from noise."
+                "Virtual devices each run their own XLA executor thread, so "
+                "sharded configs BEAT the 1-device base until the physical "
+                "cores saturate -- speedup_vs_1dev is reported as such and "
+                "is NOT a chip-scaling projection. The multi-chip-relevant "
+                "measurement is the coupling rows: tile sharding (DC-carry "
+                "ppermute + per-shard concat) vs data sharding (zero "
+                "coupling) at the same device count, median of reps with "
+                "an IQR noise band; tile_efficiency_floor_pct = "
+                "1/(1 + max(0, delta+noise)) bounds the tile-axis cost "
+                "from the top of the band -- no point estimates from "
+                "noise."
                 if shared_cores else
                 "real multi-device run: efficiency_pct is measured "
                 "strong-scaling efficiency"),
