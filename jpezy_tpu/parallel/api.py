@@ -56,6 +56,13 @@ def decode_sharded(mesh: Mesh, streams: list[bytes], *,
     ]
     mcus_x, mcus_y = geos[0].mcus_x, geos[0].mcus_y
     level = 128 if p0.props.sample_precision == 8 else 2048
+
+    if p0.restart_interval and precision == "fast" and not gray:
+        try:
+            return _decode_sharded_device(
+                mesh, pjs, p0, mcus_x, mcus_y, level)
+        except (ImportError, ValueError):
+            pass  # ineligible stream/mesh shape: host-frontend path below
     per_image = jax_codec._decode_entropy_batch(pjs)
 
     ncomp = len(p0.frame_components)
@@ -80,6 +87,60 @@ def decode_sharded(mesh: Mesh, streams: list[bytes], *,
     if out.shape[-1] == 1:
         out = np.repeat(out, 3, axis=-1)
     return out
+
+
+def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
+    """Mesh-sharded FULL device decode of restart 4:2:0 streams: every
+    shard runs its own Huffman lockstep scan -- zero collectives, zero
+    host coefficients (sharded.make_sharded_decode_device).  Raises
+    ValueError when the stream or mesh shape is ineligible (caller falls
+    back to the host-frontend path)."""
+    from ..codec.jax_codec import _device_host_frontend
+    from ..ops.entropy_decode import build_decode_lut, device_lut
+
+    std420 = (
+        len(p0.frame_components) == 3
+        and [(fc.H, fc.V) for fc in p0.frame_components]
+        == [(2, 2), (1, 1), (1, 1)]
+        and [(sc.Td, sc.Ta) for sc in p0.scan_components]
+        == [(0, 0), (1, 1), (1, 1)]
+    )
+    ri = p0.restart_interval
+    nmcu = mcus_x * mcus_y
+    N = len(pjs)
+    data_ax, tile_ax = mesh.shape["data"], mesh.shape["tile"]
+    if not std420:
+        raise ValueError("sharded device decode needs standard 4:2:0")
+    if nmcu % ri:
+        raise ValueError("sharded device decode needs ri | nmcu")
+    nseg = nmcu // ri
+    if N % data_ax or nseg % tile_ax or (nseg // tile_ax * ri) % mcus_x:
+        raise ValueError("mesh shape does not divide segments/MCU rows")
+    for pj in pjs[1:]:
+        if pj.restart_interval != ri:
+            raise ValueError("uniform DRI required")
+        for cls in (0, 1):
+            for tid in (0, 1):
+                a, b = p0.huff[cls][tid], pj.huff[cls][tid]
+                if (not np.array_equal(a.sizes, b.sizes)
+                        or not np.array_equal(a.values, b.values)):
+                    raise ValueError("uniform Huffman tables required")
+
+    words, nblk = _device_host_frontend(pjs, nmcu, ri, nseg)
+    qtuple = tuple(tuple(int(x) for x in p0.quant[fc.Tq])
+                   for fc in p0.frame_components)
+    fn = sharded.make_sharded_decode_device(
+        mesh, ri=ri, mcus_x=mcus_x, level=level, qtuple=qtuple)
+    spec3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "tile", None))
+    spec2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "tile"))
+    Lw = words.shape[1]
+    words_d = jax.device_put(words.reshape(N, nseg, Lw), spec3)
+    nblk_d = jax.device_put(nblk.reshape(N, nseg), spec2)
+    out = np.asarray(fn(words_d, nblk_d,
+                        device_lut(build_decode_lut(p0.huff))))
+    return out[:, :p0.props.height, :p0.props.width]
 
 
 def encode_sharded(mesh: Mesh, batch_rgb: np.ndarray, *, gray: bool = False,

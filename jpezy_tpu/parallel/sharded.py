@@ -420,6 +420,69 @@ def make_sharded_decode(mesh: Mesh, *, comps, mcus_x: int, level: int = 128,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def make_sharded_decode_device(mesh: Mesh, *, ri: int, mcus_x: int,
+                               level: int = 128, qtuple,
+                               precision: str = "fast"):
+    """FULL mesh-sharded decode of restart-interval 4:2:0 streams: the
+    Huffman frontend itself runs on every shard (ops.entropy_decode
+    lockstep scan) -- no host coefficients, no collectives.
+
+    Segments are independent and MCU ranges are contiguous per shard, so
+    the whole program (entropy decode -> dequant -> IDCT -> upsample ->
+    color) is shard-local: 'data' shards images, 'tile' shards contiguous
+    segment ranges (= MCU-row ranges when (nseg_loc * ri) % mcus_x == 0).
+
+    fn(words [N, nseg, Lw] u32 P('data','tile',None),
+       nblk [N, nseg] i32 P('data','tile'),
+       lut [4, 65536] i32 replicated)
+      -> uint8 [N, H_mcu, W_mcu, 3] P('data','tile',None,None)
+    with the reference's clamp-AFTER-color semantics (same pixels as the
+    rgb transport).
+    """
+    from ..ops.entropy_decode import decode_segments
+
+    dtype = jnp.float64 if precision == "exact" else jnp.float32
+    mb = ri * 6
+
+    def local(words, nblk, lut):
+        n_loc, nseg_loc, Lw = words.shape
+        blocks = decode_segments(
+            words.reshape(-1, Lw), nblk.reshape(-1), lut, max_blocks=mb)
+        mcus_loc = nseg_loc * ri
+        rows_loc = mcus_loc // mcus_x
+        b6 = blocks.reshape(n_loc, mcus_loc, 6, 64)
+        comps = (
+            (b6[:, :, :4].reshape(n_loc, mcus_loc * 4, 64), 2, 2, 1, 1),
+            (b6[:, :, 4], 1, 1, 2, 2),
+            (b6[:, :, 5], 1, 1, 2, 2),
+        )
+        planes = []
+        for (cb, v, h, dup_y, dup_x), qt in zip(comps, qtuple):
+            deq = Q.dequantize(cb.reshape(-1, 64).astype(jnp.int32),
+                               jnp.asarray(np.array(qt, np.int32)))
+            spat = D.inverse_dct(deq, level, dtype)
+            plane = spat.reshape(
+                n_loc, rows_loc, mcus_x, v, h, 8, 8).transpose(
+                0, 1, 3, 5, 2, 4, 6).reshape(
+                n_loc, rows_loc * v * 8, mcus_x * h * 8)
+            if dup_y > 1 or dup_x > 1:
+                plane = jnp.repeat(
+                    jnp.repeat(plane, dup_y, axis=1), dup_x, axis=2)
+            planes.append(plane)
+        r, g, b = C.ycc_to_rgb(planes[0], planes[1], planes[2], dtype)
+        return jnp.stack([r, g, b], axis=-1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data", "tile", None), P("data", "tile"), P(None, None)),
+        out_specs=P("data", "tile", None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_batch(mesh: Mesh, arr: np.ndarray) -> jax.Array:
     """Place [N, H, W] host batch onto the mesh with P('data', 'tile')."""
     return jax.device_put(arr, NamedSharding(mesh, P("data", "tile", None)))

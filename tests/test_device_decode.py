@@ -164,3 +164,60 @@ class TestAutoPick:
         data = jax_codec.encode(*split(small_rgb))          # no DRI
         with pytest.raises(ValueError):
             jax_codec.decode(data, transport="device")
+
+
+class TestShardedDeviceDecode:
+    """Whole-decode (Huffman included) sharded over the virtual mesh."""
+
+    @pytest.fixture(scope="class")
+    def mesh24(self):
+        import jax
+        from jpezy_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return make_mesh(data=2, tile=4)
+
+    def test_matches_unsharded_rgb_pixels(self, mesh24):
+        from imagegen import make_test_image
+        from jpezy_tpu.parallel.api import decode_sharded, encode_sharded
+
+        batch = np.stack([make_test_image(128, 64, seed=30 + i)
+                          for i in range(4)])
+        streams = encode_sharded(mesh24, batch, restart_interval=2)
+        pix = decode_sharded(mesh24, streams)     # device-sharded path
+        for i, s in enumerate(streams):
+            r, g, b, _ = jax_codec.decode(s, transport="rgb")
+            assert np.array_equal(pix[i], np.stack([r, g, b], -1)), i
+
+    def test_spied_routing(self, mesh24, monkeypatch):
+        """Restart streams actually take the device-sharded path."""
+        from imagegen import make_test_image
+        from jpezy_tpu.parallel import api
+
+        calls = []
+        orig = api._decode_sharded_device
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(api, "_decode_sharded_device", spy)
+        batch = np.stack([make_test_image(128, 64, seed=40 + i)
+                          for i in range(2)])
+        streams = api.encode_sharded(mesh24, batch, restart_interval=2)
+        api.decode_sharded(mesh24, streams)
+        assert calls
+
+    def test_misaligned_mesh_falls_back(self, mesh24):
+        """ri that leaves segments misaligned with shards degrades to the
+        host-frontend path, still correct."""
+        from imagegen import make_test_image
+        from jpezy_tpu.parallel.api import decode_sharded
+
+        img = make_test_image(128, 64, seed=50)
+        data = jax_codec.encode(img[..., 0], img[..., 1], img[..., 2],
+                                restart_interval=3)   # 3 does not divide 32
+        pix = decode_sharded(mesh24, [data, data])
+        r, g, b, _ = jax_codec.decode(data, transport="rgb")
+        assert np.array_equal(pix[0], np.stack([r, g, b], -1))
