@@ -221,3 +221,40 @@ class TestShardedDeviceDecode:
         pix = decode_sharded(mesh24, [data, data])
         r, g, b, _ = jax_codec.decode(data, transport="rgb")
         assert np.array_equal(pix[0], np.stack([r, g, b], -1))
+
+
+class TestRobustness:
+    def test_corrupt_entropy_terminates(self):
+        """Garbage segment bytes must terminate (the bitpos bound turns
+        invalid-window loops into done lanes), not hang or crash."""
+        from jpezy_tpu.ops.entropy_decode import decode_segments
+
+        rng = np.random.default_rng(3)
+        words = jnp.asarray(rng.integers(0, 2**32, (8, 16), np.uint64)
+                            .astype(np.uint32))
+        lut = jnp.asarray(
+            np.full((4, 65536), -1, np.int32))      # all windows invalid
+        out = np.asarray(decode_segments(
+            words, jnp.full(8, 6, np.int32), lut, max_blocks=6))
+        assert out.shape == (8, 6, 64)              # returned, bounded
+
+    def test_bitflipped_restart_stream_decodes_or_raises(self, small_rgb):
+        """Flipping entropy bits of a restart stream must never crash or
+        hang the default decode path; pixels may differ (garbage in)."""
+        data = bytearray(
+            jax_codec.encode(*split(small_rgb), restart_interval=2))
+        pj = parse(bytes(data))
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            corrupt = bytearray(data)
+            # flip a few bits inside the entropy region, avoiding 0xFF
+            # creation at random (marker corruption exercises the
+            # fallback/raise path, also fine)
+            for _ in range(3):
+                i = rng.integers(pj.entropy_start, len(data) - 2)
+                corrupt[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                r, g, b, _ = jax_codec.decode(bytes(corrupt))
+                assert r.shape == small_rgb.shape[:2]
+            except (ValueError, RuntimeError):
+                pass                                 # clean refusal is fine
