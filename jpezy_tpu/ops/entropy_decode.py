@@ -97,12 +97,13 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
     zero_s = jnp.zeros((S,), jnp.int32)
 
     def peek32(bitpos):
-        """Next 32 stream bits, MSB-first, per lane."""
+        """Next 32 stream bits, MSB-first, per lane (ONE gather of two
+        adjacent words per lane)."""
         q = bitpos >> 5
         r = (bitpos & 31).astype(jnp.uint32)
-        w1 = jnp.take_along_axis(words, q[:, None], axis=1)[:, 0]
-        w2 = jnp.take_along_axis(
-            words, jnp.minimum(q + 1, Lw - 1)[:, None], axis=1)[:, 0]
+        idx = jnp.stack([q, jnp.minimum(q + 1, Lw - 1)], axis=1)
+        ww = jnp.take_along_axis(words, idx, axis=1)
+        w1, w2 = ww[:, 0], ww[:, 1]
         # r == 0 would shift w2 by 32 (undefined): mask the shift and select
         lo = jnp.where(r == 0, jnp.uint32(0), w2 >> ((32 - r) & 31))
         return (w1 << r) | lo
