@@ -302,11 +302,8 @@ def _concat_batch_combined(words, bits, restart_interval: int):
     N, Bn, W = words.shape
     maxw = stream_budget_words_batch(Bn)
     if restart_interval:
-        segb = 6 * restart_interval
-        stream, total, seg_bits = jax.vmap(
-            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb,
-                                                  tiered=False)
-        )(words, bits)
+        stream, total, seg_bits = E.concat_device_restart_batch(
+            words, bits, maxw, 6 * restart_interval)
         return jnp.concatenate(
             [total[:, None].astype(jnp.uint32),
              seg_bits.astype(jnp.uint32), stream], axis=1)

@@ -337,13 +337,13 @@ def _scatter_stream(words, goff, bits, maxw: int, tiered: bool = True):
     return _scatter_tiered(scat, contrib, bits, W + 1)
 
 
-def concat_device_batch(words, bits, maxw: int):
-    """Batched concat_device: [N, B, W] + [N, B] -> ([N, maxw], [N]).
-
-    One global scatter over a flattened [N*maxw] buffer (no vmap)."""
+def _concat_batch_scatter(words, bits, goff, maxw: int):
+    """Shared tail of the batched concats: funnel-shift each block's words
+    to its per-image global bit offset and scatter-add into a flattened
+    [N*maxw] buffer with the runtime-tiered window trim (no vmap -- under
+    vmap the lax.cond tiers would lower to select and execute every
+    branch)."""
     N, B, W = words.shape
-    goff = jnp.cumsum(bits, axis=1) - bits
-    total = goff[:, -1] + bits[:, -1]
     rr = (goff & 31).astype(jnp.uint32)
     q = goff >> 5
     ext = jnp.concatenate([jnp.zeros((N, B, 1), jnp.uint32), words], axis=2)
@@ -367,8 +367,38 @@ def concat_device_batch(words, bits, maxw: int):
             cc.reshape(-1), mode="drop"
         )
 
-    stream = _scatter_tiered(scat, contrib, bits, W + 1)
-    return stream.reshape(N, maxw), total
+    return _scatter_tiered(scat, contrib, bits, W + 1).reshape(N, maxw)
+
+
+def concat_device_batch(words, bits, maxw: int):
+    """Batched concat_device: [N, B, W] + [N, B] -> ([N, maxw], [N]).
+
+    One global scatter over a flattened [N*maxw] buffer (no vmap)."""
+    goff = jnp.cumsum(bits, axis=1) - bits
+    total = goff[:, -1] + bits[:, -1]
+    return _concat_batch_scatter(words, bits, goff, maxw), total
+
+
+def concat_device_restart_batch(words, bits, maxw: int, seg_blocks: int):
+    """Batched concat_device_restart: [N, B, W] + [N, B] ->
+    ([N, maxw], total [N], seg_bits [N, S]).
+
+    Same segment-aligned offsets as concat_device_restart, but ONE global
+    flattened scatter with the tiered window trim instead of a vmap of
+    per-image scatters -- the vmapped form had to disable the tiers (cond
+    -> select under vmap) and measured 56.6 ms/batch vs 4.1 for the
+    restart-free concat (scripts/devstages.py, round 4)."""
+    N, B, W = words.shape
+    S = -(-B // seg_blocks)
+    bp = jnp.pad(bits, ((0, 0), (0, S * seg_blocks - B)))
+    bseg = bp.reshape(N, S, seg_blocks)
+    seg_bits = bseg.sum(axis=2)
+    seg_span = ((seg_bits + 7) // 8) * 8            # byte-aligned span
+    base = jnp.cumsum(seg_span, axis=1) - seg_span
+    within = jnp.cumsum(bseg, axis=2) - bseg
+    goff = (base[:, :, None] + within).reshape(N, -1)[:, :B]
+    total = base[:, -1] + seg_span[:, -1]
+    return _concat_batch_scatter(words, bits, goff, maxw), total, seg_bits
 
 
 def _shr64_low32(hi, lo, d):

@@ -198,11 +198,8 @@ def _concat_local_combined(words, bits, maxw_shard: int, restart_interval: int):
     n_loc, b_loc, W = words.shape
     maxw = maxw_shard or max(4096, b_loc * 4)
     if restart_interval > 0:
-        segb = 6 * restart_interval
-        stream, total, seg_bits = jax.vmap(
-            lambda w, bt: E.concat_device_restart(w, bt, maxw, segb,
-                                                  tiered=False)
-        )(words, bits)
+        stream, total, seg_bits = E.concat_device_restart_batch(
+            words, bits, maxw, 6 * restart_interval)
         comb = jnp.concatenate(
             [total[:, None].astype(jnp.uint32),
              seg_bits.astype(jnp.uint32), stream], axis=1)

@@ -138,12 +138,15 @@ def main():
         precision="fast", rounded=False, quality=None, restart_interval=0))
     clock("FULL batch encode", full, (dy, dcb, dcr))
 
-    # restart concat variant (the pipelined headline config)
+    # restart concat variants (the pipelined headline config)
     RI = 8
-    concat_ri = jax.jit(lambda ww, bb: jax.vmap(
+    concat_ri_vmap = jax.jit(lambda ww, bb: jax.vmap(
         lambda w2, b2: E.concat_device_restart(w2, b2, maxw, 6 * RI,
                                                tiered=False))(ww, bb))
-    clock(f"concat_device_restart RI={RI}", concat_ri, (wordsN, bitsN))
+    clock(f"concat_restart vmap RI={RI}", concat_ri_vmap, (wordsN, bitsN))
+    concat_ri = jax.jit(lambda ww, bb: E.concat_device_restart_batch(
+        ww, bb, maxw, 6 * RI))
+    clock(f"concat_restart_batch RI={RI}", concat_ri, (wordsN, bitsN))
 
     # device decode stages at the same batch shape
     from jpezy_tpu.bitstream.reader import parse
