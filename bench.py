@@ -454,6 +454,17 @@ def measure(platform: str) -> dict:
         f"{v_pipelined/bound_actual*100:.0f}% of the actual-bytes "
         f"serialized bound {bound_actual:.1f} MP/s); "
         f"serial batched {v_serial:.2f}, restart-serial {v_serial_ri:.2f}")
+    # the tunnel's bandwidth can drift mid-run; re-measure the serial
+    # config CONTEMPORANEOUSLY with the pipelined passes so the
+    # pipelined-vs-serial comparison is same-weather (r4 run 4 saw the
+    # link halve between the serial section and the pipelined section)
+    t0 = time.time()
+    s_now = jax_codec.encode_batch(batches[0], restart_interval=RI)
+    jax_codec.decode_batch(s_now, transport="device")
+    v_serial_now = batch_n * mp / (time.time() - t0)
+    log(f"serial round-trip re-measured now (restart+device): "
+        f"{v_serial_now:.2f} MP/s; pipelined/serial same-weather ratio "
+        f"{v_pipelined/max(v_serial_now, 1e-9):.2f}x")
     value = max(v_pipelined, v_serial, v_serial_ri)
 
     # quality gate (moved before the optional sections): streams must be
@@ -494,6 +505,9 @@ def measure(platform: str) -> dict:
         "link_bound_proven": round(bound_proven, 2),
         "pipelined_pct_of_bound": round(v_pipelined / bound_proven * 100, 1),
         "link_bound_actual_bytes": round(bound_actual, 2),
+        "serial_sameweather": round(v_serial_now, 3),
+        "pipelined_vs_serial_sameweather": round(
+            v_pipelined / max(v_serial_now, 1e-9), 2),
     }
     # the headline is now known: flush it so a timeout in the optional
     # sections below (4K compiles through a congested tunnel can take
