@@ -95,23 +95,39 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
     lutf = lut.reshape(-1)
     iota64 = jnp.arange(64, dtype=jnp.int32)
     zero_s = jnp.zeros((S,), jnp.int32)
+    zero_u = jnp.zeros((S,), jnp.uint32)
 
-    def peek32(bitpos):
-        """Next 32 stream bits, MSB-first, per lane (ONE gather of two
-        adjacent words per lane)."""
-        q = bitpos >> 5
-        r = (bitpos & 31).astype(jnp.uint32)
-        idx = jnp.stack([q, jnp.minimum(q + 1, Lw - 1)], axis=1)
-        ww = jnp.take_along_axis(words, idx, axis=1)
-        w1, w2 = ww[:, 0], ww[:, 1]
-        # r == 0 would shift w2 by 32 (undefined): mask the shift and select
-        lo = jnp.where(r == 0, jnp.uint32(0), w2 >> ((32 - r) & 31))
-        return (w1 << r) | lo
+    # Bit cursor = a per-lane 64-bit window register (hi, lo uint32 pair):
+    # `navail` valid bits at the TOP, zeros below, next stream bit = MSB of
+    # hi.  One symbol consumes <= 27 bits (16-bit code + 11 extra), so ONE
+    # 32-bit refill per iteration keeps navail >= 32 -- a single word
+    # gather per symbol instead of the two adjacent-word gathers of the
+    # bitpos formulation (gathers dominate the scan: ~9 ns/lane each).
+
+    def refill(hi, lo, navail, widx, active):
+        need = active & (navail < 32)
+        w = jnp.take_along_axis(
+            words, jnp.minimum(widx, Lw - 1)[:, None], axis=1)[:, 0]
+        na = navail.astype(jnp.uint32)
+        hi2 = hi | (w >> na)
+        lo2 = lo | jnp.where(navail > 0, w << ((32 - na) & 31), 0)
+        return (jnp.where(need, hi2, hi), jnp.where(need, lo2, lo),
+                jnp.where(need, navail + 32, navail),
+                jnp.where(need, widx + 1, widx))
+
+    def consume(hi, lo, navail, k, active):
+        ku = jnp.maximum(k, 1).astype(jnp.uint32)   # k==0 -> masked out
+        hi2 = (hi << ku) | (lo >> ((32 - ku) & 31))
+        lo2 = lo << ku
+        take = active & (k > 0)
+        return (jnp.where(take, hi2, hi), jnp.where(take, lo2, lo),
+                jnp.where(take, navail - k, navail))
 
     def block_body(carry):
-        bitpos, kk, blk, pred, done, chroma = carry
+        hi, lo, navail, widx, kk, blk, pred, done, chroma = carry
         active = ~done
-        win = peek32(bitpos)
+        hi, lo, navail, widx = refill(hi, lo, navail, widx, active)
+        win = hi
         is_dc = kk == 0
         sel = chroma.astype(jnp.int32) * 2 + (~is_dc).astype(jnp.int32)
         e = lutf[sel * 65536 + (win >> 16).astype(jnp.int32)]
@@ -149,14 +165,14 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
             jnp.where(is_dc, 1,
                       jnp.where(is_zrl, kk + 16, kk_ac + 1)),
             kk)
-        bitpos = jnp.where(active, bitpos + ln + ncat, bitpos)
-        # kk > 63 ends the block; the bitpos bound makes corrupt input
+        hi, lo, navail = consume(hi, lo, navail, ln + ncat, active)
+        # kk > 63 ends the block; the word-index bound makes corrupt input
         # (invalid windows never advancing kk) terminate instead of hanging
-        done = done | (active & (is_eob | (kk > 63))) | (bitpos >= Lw * 32)
-        return bitpos, kk, blk, pred, done, chroma
+        done = done | (active & (is_eob | (kk > 63))) | (widx > Lw)
+        return hi, lo, navail, widx, kk, blk, pred, done, chroma
 
     def outer(carry, b):
-        bitpos, preds = carry                      # preds [S, 3]
+        hi, lo, navail, widx, preds = carry        # preds [S, 3]
         slot = b % 6                               # Y0..Y3, Cb, Cr
         chroma_scalar = slot >= 4
         comp = jnp.where(slot < 4, 0, slot - 3)
@@ -164,15 +180,15 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
             preds, jnp.full((S, 1), comp, jnp.int32), axis=1)[:, 0]
         chroma = jnp.full((S,), chroma_scalar)
         done0 = b >= nblk
-        init = (bitpos, zero_s, jnp.zeros((S, 64), jnp.int32), pred0,
-                done0, chroma)
-        bitpos, _, blk, pred, _, _ = jax.lax.while_loop(
-            lambda c: jnp.any(~c[4]), block_body, init)
+        init = (hi, lo, navail, widx, zero_s,
+                jnp.zeros((S, 64), jnp.int32), pred0, done0, chroma)
+        hi, lo, navail, widx, _, blk, pred, _, _ = jax.lax.while_loop(
+            lambda c: jnp.any(~c[7]), block_body, init)
         col = jnp.arange(3, dtype=jnp.int32)[None, :]
         preds = jnp.where(col == comp, pred[:, None], preds)
-        return (bitpos, preds), blk.astype(jnp.int16)
+        return (hi, lo, navail, widx, preds), blk.astype(jnp.int16)
 
-    init = (zero_s, jnp.zeros((S, 3), jnp.int32))
+    init = (zero_u, zero_u, zero_s, zero_s, jnp.zeros((S, 3), jnp.int32))
     _, blocks = jax.lax.scan(
         outer, init, jnp.arange(max_blocks, dtype=jnp.int32))
     return blocks.transpose(1, 0, 2)               # [S, max_blocks, 64]
