@@ -307,8 +307,11 @@ def _scatter_stream(words, goff, bits, maxw: int, tiered: bool = True):
     scatter-add into a [maxw] uint32 stream (see concat_device).
 
     tiered=False skips the lax.cond window trim: under vmap a cond lowers
-    to select and EXECUTES every branch, so vmapped callers (the restart
-    batch paths) keep the single full-width scatter."""
+    to select and EXECUTES every branch, so any vmapped caller must keep
+    the single full-width scatter.  (Since round 4 no product path vmaps
+    this: the batched concats use the flattened global-scatter forms
+    below; scripts/devstages.py keeps the vmapped variant to document the
+    14.7x cost it had.)"""
     B, W = words.shape
     rr = (goff & 31).astype(jnp.uint32)
     q = goff >> 5
