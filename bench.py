@@ -601,7 +601,9 @@ def main():
         return
 
     here = os.path.abspath(__file__)
-    for platform, timeout in (("tpu", TPU_TIMEOUT_S), ("cpu", 900)):
+    # CPU fallback needs headroom: a measured full CPU child takes ~25 min
+    # (its first checkpoint JSON lands ~12-15 min in)
+    for platform, timeout in (("tpu", TPU_TIMEOUT_S), ("cpu", 1800)):
         env = dict(os.environ, JPEZY_BENCH_CHILD=platform)
         try:
             res = subprocess.run(

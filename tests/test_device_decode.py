@@ -258,3 +258,21 @@ class TestRobustness:
                 assert r.shape == small_rgb.shape[:2]
             except (ValueError, RuntimeError):
                 pass                                 # clean refusal is fine
+
+
+class TestDifferentialSweep:
+    def test_random_content_random_intervals(self):
+        """Differential sweep: device decoder vs host C++ frontend across
+        content seeds x restart intervals x geometries (bit-exact)."""
+        from imagegen import make_test_image
+
+        rng = np.random.default_rng(123)
+        for trial in range(5):
+            h = int(rng.choice([32, 48, 64, 80]))
+            w = int(rng.choice([32, 48, 64]))
+            ri = int(rng.choice([1, 2, 3, 5, 7]))
+            img = make_test_image(h, w, seed=1000 + trial)
+            data = jax_codec.encode(*split(img), restart_interval=ri)
+            a = np.stack(jax_codec.decode(data, transport="device")[:3])
+            b = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+            assert np.array_equal(a, b), (h, w, ri)

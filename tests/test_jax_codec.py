@@ -247,3 +247,21 @@ class TestYcc420ClampEnvelope:
         psnr_ref = 10 * np.log10(255**2 / mse_ref)
         psnr_got = 10 * np.log10(255**2 / mse_got)
         assert psnr_got >= psnr_ref - 0.1, (psnr_got, psnr_ref)
+
+
+class TestCustomProps:
+    def test_encode_honors_caller_props(self, small_rgb):
+        """encode(props=...) threads through the batch-path ticket (r4
+        reroute): the header must carry the caller's metadata."""
+        import dataclasses
+
+        from jpezy_tpu.core.props import make_encode_props
+
+        h, w = small_rgb.shape[:2]
+        pr = dataclasses.replace(make_encode_props(w, h),
+                                 comment="custom comment here")
+        data = jax_codec.encode(*split(small_rgb), props=pr)
+        assert b"custom comment here" in data
+        r, g, b, got = jax_codec.decode(data)
+        assert got.comment == "custom comment here"
+        assert (got.width, got.height) == (w, h)
