@@ -755,6 +755,230 @@ void jz_ycc420_to_rgb_batch(const uint8_t* y, const uint8_t* cb,
     for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Host fallback codec: the transform + entropy-encode hot loops in C++ so a
+// one-shot CLI run on a small image never has to initialize an accelerator
+// backend (VERDICT r4 #2: the reference does a 512x512 encode in 42 ms;
+// session establishment through the TPU tunnel alone costs seconds).
+//
+// Numerics contract: bit-identical to the numpy oracle (jpezy_tpu/codec/
+// oracle.py), which pins the reference's float64 semantics -- the cosine
+// term tables and the exact accumulation ORDER are passed in from Python so
+// both paths share constants, and the build uses -ffp-contract=off so GCC
+// cannot fuse a*b+c into FMA (which would round differently from numpy).
+// Referents: forward DCT jpezy_encoder.hpp:146-166, quantization :168-172,
+// entropy encode :174-225, IDCT jpezy_decoder.hpp:652-670.
+// ---------------------------------------------------------------------------
+
+// Forward DCT + quantization, oracle term order.
+// pic: [B, 64] int8 level-shifted spatial blocks;
+// c1/c2: [64, 64] doubles, term k's factors per output ij (oracle
+// _FWD_C1/_FWD_C2); cu8: [8] doubles (1/sqrt2, 1, ...);
+// qt: [64] int32 quant divisors; out: [B, 64] int32.
+void jz_fdct_quant(const int8_t* pic, long B,
+                   const double* c1, const double* c2, const double* cu8,
+                   const int32_t* qt, int32_t* out, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    auto work = [&](long b0, long b1) {
+        double s[64];
+        for (long b = b0; b < b1; ++b) {
+            const int8_t* p = pic + b * 64;
+            for (int ij = 0; ij < 64; ++ij) s[ij] = 0.0;
+            for (int k = 0; k < 64; ++k) {       // reference (y, x) raster
+                double pk = (double)p[k];
+                const double* a = c1 + k * 64;
+                const double* d = c2 + k * 64;
+                for (int ij = 0; ij < 64; ++ij) s[ij] += (pk * a[ij]) * d[ij];
+            }
+            int32_t* o = out + b * 64;
+            for (int ij = 0; ij < 64; ++ij) {
+                double r = ((s[ij] * cu8[ij % 8]) * cu8[ij / 8]) / 4.0;
+                int32_t v = (int32_t)r;          // C trunc toward zero
+                o[ij] = v / qt[ij];              // truncating int division
+            }
+        }
+    };
+    if (nthreads == 1 || B < 64) { work(0, B); return; }
+    long per = (B + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long b0 = (long)t * per, b1 = b0 + per < B ? b0 + per : B;
+        if (b0 >= b1) break;
+        threads.emplace_back(work, b0, b1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Dequantize + inverse DCT, oracle term order (v outer, u inner).
+// coeffs: [B, 64] int16 natural order; cucv: [64] doubles (oracle
+// _INV_CUCV); c1/c2: [64, 64] (oracle _INV_C1/_INV_C2); out [B, 64] int32
+// spatial with the +level shift.
+void jz_idct_dequant(const int16_t* coeffs, long B, const int32_t* qt,
+                     const double* cucv, const double* c1, const double* c2,
+                     int level, int32_t* out, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    auto work = [&](long b0, long b1) {
+        double s[64];
+        for (long b = b0; b < b1; ++b) {
+            const int16_t* p = coeffs + b * 64;
+            for (int yx = 0; yx < 64; ++yx) s[yx] = 0.0;
+            for (int k = 0; k < 64; ++k) {
+                double dk = cucv[k] * (double)((int32_t)p[k] * qt[k]);
+                const double* a = c1 + k * 64;
+                const double* d = c2 + k * 64;
+                for (int yx = 0; yx < 64; ++yx) s[yx] += (dk * a[yx]) * d[yx];
+            }
+            int32_t* o = out + b * 64;
+            for (int yx = 0; yx < 64; ++yx)
+                o[yx] = (int32_t)(s[yx] / 4.0 + (double)level);
+        }
+    };
+    if (nthreads == 1 || B < 64) { work(0, B); return; }
+    long per = (B + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long b0 = (long)t * per, b1 = b0 + per < B ? b0 + per : B;
+        if (b0 >= b1) break;
+        threads.emplace_back(work, b0, b1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Serial Huffman entropy encoder with inline byte stuffing and restart
+// markers.  Tables are packed (code << 8) | size, keyed by DC category /
+// AC symbol byte (run<<4 | s; EOB = 0x00, ZRL = 0xF0).
+// Histogram mode (out == NULL): count symbols into hist[4*256]
+// (Y-DC, Y-AC, C-DC, C-AC) instead of emitting -- pass 1 of the
+// -optimize two-pass encode.
+// Returns bytes written (0 in histogram mode), or -1 on outcap overflow.
+namespace hostenc {
+
+struct BitWriter {
+    uint8_t* out; long cap; long o = 0;
+    uint64_t acc = 0; int nbits = 0; bool overflow = false;
+
+    inline void put(uint32_t code, int n) {
+        if (n == 0) return;
+        acc |= (uint64_t)code << (64 - nbits - n);
+        nbits += n;
+        while (nbits >= 8) {
+            if (o + 2 > cap) { overflow = true; nbits = 0; acc = 0; return; }
+            uint8_t b = (uint8_t)(acc >> 56);
+            out[o++] = b;
+            if (b == 0xFF) out[o++] = 0x00;  // stuffing
+            acc <<= 8; nbits -= 8;
+        }
+    }
+    // 1-pad to a byte boundary (T.81 F.1.2.3)
+    inline void pad1() {
+        int p = (8 - (nbits & 7)) & 7;
+        if (p) put((1u << p) - 1, p);
+    }
+};
+
+static inline int mag_category(int32_t v) {
+    uint32_t a = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+    return a ? 32 - __builtin_clz(a) : 0;
+}
+
+static inline void enc_block(BitWriter* bw, const int32_t* blk, int64_t* pred,
+                             const uint32_t* dct, const uint32_t* act,
+                             const int32_t* zz,
+                             uint32_t* hdc, uint32_t* hac) {
+    int32_t diff = (int32_t)(blk[0] - *pred);
+    *pred = blk[0];
+    int cat = mag_category(diff);
+    if (hdc) {
+        ++hdc[cat];
+    } else {
+        uint32_t e = dct[cat];
+        bw->put(e >> 8, (int)(e & 0xFF));
+        if (cat) {
+            int32_t x = diff < 0 ? diff - 1 : diff;  // one's-complement trick
+            bw->put((uint32_t)x & ((1u << cat) - 1), cat);
+        }
+    }
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+        int32_t v = blk[zz[k]];
+        if (v == 0) { ++run; continue; }
+        while (run > 15) {
+            if (hac) ++hac[0xF0];
+            else { uint32_t e = act[0xF0]; bw->put(e >> 8, (int)(e & 0xFF)); }
+            run -= 16;
+        }
+        int s = mag_category(v);
+        int sym = (run << 4) | s;
+        if (hac) {
+            ++hac[sym];
+        } else {
+            uint32_t e = act[sym];
+            bw->put(e >> 8, (int)(e & 0xFF));
+            int32_t x = v < 0 ? v - 1 : v;
+            bw->put((uint32_t)x & ((1u << s) - 1), s);
+        }
+        run = 0;
+    }
+    if (run > 0) {  // trailing zeros -> EOB (never ZRL), jpezy_encoder.hpp:219
+        if (hac) ++hac[0x00];
+        else { uint32_t e = act[0x00]; bw->put(e >> 8, (int)(e & 0xFF)); }
+    }
+}
+
+}  // namespace hostenc
+
+int64_t jz_entropy_encode(
+    const int32_t* yq,                // [nmcu*4, 64] natural order
+    const int32_t* cbq,               // [nmcu, 64]
+    const int32_t* crq,               // [nmcu, 64]
+    long nmcu, int restart_interval,
+    const int32_t* zigzag,
+    const uint32_t* ydc, const uint32_t* yac,   // packed (code<<8)|size
+    const uint32_t* cdc, const uint32_t* cac,
+    uint8_t* out, long outcap,        // NULL -> histogram mode
+    uint32_t* hist                    // [4*256] or NULL
+) {
+    hostenc::BitWriter bw{out, outcap};
+    uint32_t* hydc = nullptr; uint32_t* hyac = nullptr;
+    uint32_t* hcdc = nullptr; uint32_t* hcac = nullptr;
+    bool counting = out == nullptr;
+    if (counting) {
+        hydc = hist; hyac = hist + 256; hcdc = hist + 512; hcac = hist + 768;
+    }
+    int64_t pred[3] = {0, 0, 0};
+    long since = 0, seg = 0;
+    for (long m = 0; m < nmcu; ++m) {
+        if (restart_interval > 0 && since == restart_interval) {
+            if (!counting) {
+                bw.pad1();
+                if (bw.o + 2 > outcap) return -1;
+                out[bw.o++] = 0xFF;                  // RSTn: raw marker,
+                out[bw.o++] = (uint8_t)(0xD0 + (seg % 8));  // never stuffed
+            }
+            pred[0] = pred[1] = pred[2] = 0;
+            since = 0; ++seg;
+        }
+        for (int k = 0; k < 4; ++k)
+            hostenc::enc_block(&bw, yq + (m * 4 + k) * 64, &pred[0],
+                               ydc, yac, zigzag, hydc, hyac);
+        hostenc::enc_block(&bw, cbq + m * 64, &pred[1], cdc, cac, zigzag,
+                           hcdc, hcac);
+        hostenc::enc_block(&bw, crq + m * 64, &pred[2], cdc, cac, zigzag,
+                           hcdc, hcac);
+        ++since;
+    }
+    if (counting) return 0;
+    bw.pad1();
+    if (bw.overflow) return -1;
+    return bw.o;
+}
+
 void jz_ycc420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
                       long H, long W, uint8_t* out) {
     const long cw = (W + 1) / 2;  // chroma plane is ceil(W/2) wide

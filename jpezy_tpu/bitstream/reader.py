@@ -274,3 +274,14 @@ def split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
             return segments, int(i)
     flush_segment(n)
     return segments, n
+
+
+def check_decodable(pj: ParsedJpeg) -> None:
+    """The reference's pre-scan gate (jpezy_decoder.hpp:89): Huffman tables,
+    quant tables and a scan header must all have been seen."""
+    need = Analyzed.HTABLE | Analyzed.QTABLE | Analyzed.START_DATA
+    if (pj.props.decodable & need) != need:
+        missing = [f.name for f in (Analyzed.HTABLE, Analyzed.QTABLE,
+                                    Analyzed.START_DATA)
+                   if not (pj.props.decodable & f)]
+        raise ValueError(f"stream not decodable: missing {missing}")

@@ -24,7 +24,9 @@ from ..core import tables as T
 from ..core.geometry import ComponentGeometry, EncodeGeometry
 from ..core.props import ImageProps, make_encode_props
 from ..bitstream import writer
-from ..bitstream.reader import ParsedJpeg, parse, split_entropy_segments
+from ..bitstream.reader import (ParsedJpeg, check_decodable as
+                                _check_decodable, parse,
+                                split_entropy_segments)
 from ..bitstream.splice import splice_blocks
 from ..ops import blocks as B
 from ..ops import colorspace as C
@@ -1103,17 +1105,7 @@ def decode_batch(streams: list[bytes], *, gray: bool = False,
         streams, gray=gray, precision=precision, transport=transport))
 
 
-def _check_decodable(pj: ParsedJpeg) -> None:
-    """The reference's pre-scan gate (jpezy_decoder.hpp:89): Huffman tables,
-    quant tables and a scan header must all have been seen."""
-    from ..core.props import Analyzed
-
-    need = Analyzed.HTABLE | Analyzed.QTABLE | Analyzed.START_DATA
-    if (pj.props.decodable & need) != need:
-        missing = [f.name for f in (Analyzed.HTABLE, Analyzed.QTABLE,
-                                    Analyzed.START_DATA)
-                   if not (pj.props.decodable & f)]
-        raise ValueError(f"stream not decodable: missing {missing}")
+# _check_decodable lives in bitstream.reader (shared with codec.host_codec)
 
 
 def _ycc420_host_frontend(pjs, K: int = 10):

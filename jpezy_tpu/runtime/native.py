@@ -29,9 +29,12 @@ class NativeUnavailable(ImportError):
 
 def _build() -> None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # -ffp-contract=off: the host-codec DCT/IDCT must round exactly like
+    # numpy float64 (no a*b+c FMA fusion) to stay bit-identical to the
+    # oracle's reference semantics
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO + ".tmp",
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
@@ -116,6 +119,23 @@ def get_lib() -> ctypes.CDLL:
             c_i32p, ctypes.c_int, c_i32p, c_i32p,
             ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(c_i16p), ctypes.c_int,
+        ]
+        c_dp = ctypes.POINTER(ctypes.c_double)
+        lib.jz_fdct_quant.restype = None
+        lib.jz_fdct_quant.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_long,
+            c_dp, c_dp, c_dp, c_i32p, c_i32p, ctypes.c_int,
+        ]
+        lib.jz_idct_dequant.restype = None
+        lib.jz_idct_dequant.argtypes = [
+            c_i16p, ctypes.c_long, c_i32p,
+            c_dp, c_dp, c_dp, ctypes.c_int, c_i32p, ctypes.c_int,
+        ]
+        lib.jz_entropy_encode.restype = ctypes.c_int64
+        lib.jz_entropy_encode.argtypes = [
+            c_i32p, c_i32p, c_i32p, ctypes.c_long, ctypes.c_int, c_i32p,
+            c_u32p, c_u32p, c_u32p, c_u32p,
+            c_u8p, ctypes.c_long, c_u32p,
         ]
         lib.jz_entropy_decode_fast.restype = ctypes.c_int64
         lib.jz_entropy_decode_fast.argtypes = [
@@ -337,6 +357,100 @@ def ycc420_to_rgb_batch(ys: np.ndarray, cbs: np.ndarray, crs: np.ndarray,
     lib.jz_ycc420_to_rgb_batch(
         _u8p(ys), _u8p(cbs), _u8p(crs), N, H, W, _u8p(out), nthreads)
     return out
+
+
+def fdct_quant(pic: np.ndarray, c1: np.ndarray, c2: np.ndarray,
+               cu8: np.ndarray, qt: np.ndarray,
+               nthreads: int = 0) -> np.ndarray:
+    """[B, 64] int8 spatial blocks -> [B, 64] int32 quantized coefficients,
+    the oracle's exact float64 term order (bit-identical; see
+    codec/host_codec.py)."""
+    lib = get_lib()
+    pic = np.ascontiguousarray(pic, np.int8)
+    B = pic.shape[0]
+    out = np.empty((B, 64), np.int32)
+    PD = ctypes.POINTER(ctypes.c_double)
+    lib.jz_fdct_quant(
+        pic.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), B,
+        np.ascontiguousarray(c1).ctypes.data_as(PD),
+        np.ascontiguousarray(c2).ctypes.data_as(PD),
+        np.ascontiguousarray(cu8).ctypes.data_as(PD),
+        _i32p(np.ascontiguousarray(qt, np.int32)), _i32p(out), nthreads)
+    return out
+
+
+def idct_dequant(coeffs: np.ndarray, qt: np.ndarray, cucv: np.ndarray,
+                 c1: np.ndarray, c2: np.ndarray, level: int,
+                 nthreads: int = 0) -> np.ndarray:
+    """[B, 64] int16 coefficients -> [B, 64] int32 spatial (+level),
+    the oracle's exact float64 term order."""
+    lib = get_lib()
+    coeffs = np.ascontiguousarray(coeffs, np.int16)
+    B = coeffs.shape[0]
+    out = np.empty((B, 64), np.int32)
+    PD = ctypes.POINTER(ctypes.c_double)
+    lib.jz_idct_dequant(
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), B,
+        _i32p(np.ascontiguousarray(qt, np.int32)),
+        np.ascontiguousarray(cucv).ctypes.data_as(PD),
+        np.ascontiguousarray(c1).ctypes.data_as(PD),
+        np.ascontiguousarray(c2).ctypes.data_as(PD),
+        level, _i32p(out), nthreads)
+    return out
+
+
+def entropy_encode(yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray,
+                   restart_interval: int,
+                   ydc: np.ndarray, yac: np.ndarray,
+                   cdc: np.ndarray, cac: np.ndarray) -> bytes:
+    """Serial Huffman encode -> stuffed entropy bytes incl. RSTn markers.
+
+    Tables: packed ``(code << 8) | size`` uint32 keyed by DC category /
+    AC symbol byte (see codec/host_codec._packed_tables)."""
+    from ..core import tables as T
+
+    lib = get_lib()
+    nmcu = cbq.shape[0]
+    yq = np.ascontiguousarray(yq, np.int32)
+    cbq = np.ascontiguousarray(cbq, np.int32)
+    crq = np.ascontiguousarray(crq, np.int32)
+    zz = np.ascontiguousarray(T.ZIGZAG, np.int32)
+    PU = ctypes.POINTER(ctypes.c_uint32)
+    cap = nmcu * 6 * 64 * 4 + 4096  # worst case ~2 bytes/coeff + margin
+    out = np.empty(cap, np.uint8)
+    n = lib.jz_entropy_encode(
+        _i32p(yq), _i32p(cbq), _i32p(crq), nmcu, restart_interval,
+        _i32p(zz),
+        np.ascontiguousarray(ydc, np.uint32).ctypes.data_as(PU),
+        np.ascontiguousarray(yac, np.uint32).ctypes.data_as(PU),
+        np.ascontiguousarray(cdc, np.uint32).ctypes.data_as(PU),
+        np.ascontiguousarray(cac, np.uint32).ctypes.data_as(PU),
+        _u8p(out), cap, None)
+    if n < 0:
+        raise RuntimeError("entropy encode overflowed its output budget")
+    return out[:n].tobytes()
+
+
+def entropy_histograms(yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray,
+                       restart_interval: int) -> np.ndarray:
+    """Pass-1 symbol counts [4, 256] (Y-DC, Y-AC, C-DC, C-AC) for the
+    -optimize table derivation."""
+    from ..core import tables as T
+
+    lib = get_lib()
+    nmcu = cbq.shape[0]
+    yq = np.ascontiguousarray(yq, np.int32)
+    cbq = np.ascontiguousarray(cbq, np.int32)
+    crq = np.ascontiguousarray(crq, np.int32)
+    zz = np.ascontiguousarray(T.ZIGZAG, np.int32)
+    hist = np.zeros(4 * 256, np.uint32)
+    PU = ctypes.POINTER(ctypes.c_uint32)
+    rc = lib.jz_entropy_encode(
+        _i32p(yq), _i32p(cbq), _i32p(crq), nmcu, restart_interval,
+        _i32p(zz), None, None, None, None, None, 0,
+        hist.ctypes.data_as(PU))
+    assert rc == 0
+    return hist.reshape(4, 256)
 
 
 def entropy_decode(pj, n_mcus: int) -> list[np.ndarray]:

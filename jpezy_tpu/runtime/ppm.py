@@ -23,19 +23,44 @@ def _strip_comments(text: bytes) -> bytes:
     return b"\n".join(line.split(b"#", 1)[0] for line in lines)
 
 
+def _after_p3_magic(data: bytes) -> int:
+    """Index just past the 'P3' magic, skipping leading whitespace and
+    comment lines (the reference's jump_comment accepts comments even
+    before the magic, encode_io.hpp:50-56).  -1 when not P3.
+
+    Scans bytewise over the (short) header region only -- the body can be
+    megabytes with one '#' comment and must not be line-split in Python.
+    """
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x23:  # '#'
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in b" \t\r\n\v\f":
+            i += 1
+        else:
+            break
+    if data[i : i + 2] == b"P3":
+        return i + 2
+    return -1
+
+
 def parse_p3(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse P3 bytes -> (width, height, maxval, rgb[H, W, 3] uint8)."""
-    body = _strip_comments(data)
-    if not body.lstrip().startswith(b"P3"):
+    mag = _after_p3_magic(data)
+    if mag < 0:
         raise PpmFormatError("not a P3 PPM")
-    body = body.lstrip()[2:]
+    body = data[mag:]
     vals = None
     try:
         from . import native
 
-        vals = native.scan_ints(body, len(body) // 2 + 4).astype(np.int64)
+        # the C++ tokenizer skips '#' comments itself; int32 is enough for
+        # any PNM field and skips a pointless 8-byte-widening copy
+        vals = native.scan_ints(body, len(body) // 2 + 4)
     except ImportError:
-        pass
+        body = _strip_comments(body)
     if vals is None:
         import warnings
 
@@ -81,7 +106,7 @@ def parse(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return parse_p6(data)
     # P3 may be preceded by comment lines (the reference's jump_comment skips
     # them even before the magic, encode_io.hpp:50-56)
-    if head == b"P3" or _strip_comments(data).lstrip()[:2] == b"P3":
+    if head == b"P3" or _after_p3_magic(data) >= 0:
         return parse_p3(data)
     raise PpmFormatError("unsupported PNM magic")
 
