@@ -329,17 +329,20 @@ def measure(platform: str) -> dict:
     nmcu = geom[0][0] * geom[0][1]
     nseg = -(-nmcu // RI)
     t0 = time.time()
-    words_h, nblk_h = _device_host_frontend(pjs_ri, nmcu, RI, nseg)
+    words_h, nblk_h, rawlen_h = _device_host_frontend(pjs_ri, nmcu, RI, nseg)
     t_front_ri = time.time() - t0
     t0 = time.time()
     words_dev = jax.block_until_ready(jnp.asarray(words_h))
     nblk_dev = jax.block_until_ready(jnp.asarray(nblk_h))
+    rawlen_dev = jax.block_until_ready(jnp.asarray(rawlen_h))
+    tsel_dev = jax.block_until_ready(
+        jnp.zeros(words_h.shape[0], jnp.int32))
     t_up_ri = time.time() - t0
     from jpezy_tpu.ops.entropy_decode import build_decode_lut, device_lut
     lut_dev = device_lut(build_decode_lut(pjs_ri[0].huff))
     run_ri = lambda: _decode_fused_batch_device(
-        words_dev, nblk_dev, lut_dev, N=batch_n, nseg=nseg, ri=RI,
-        geom=geom, level=128, qtuple=qtuple)
+        words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev,
+        N=batch_n, nseg=nseg, ri=RI, geom=geom, level=128, qtuple=qtuple)
     out_ri2 = run_ri(); jax.block_until_ready(out_ri2)
     t_dev_ri = _bracket(run_ri, lambda o: o[0, :1])
     t0 = time.time(); _ = np.asarray(out_ri2); t_fetch_ri = time.time() - t0

@@ -88,7 +88,8 @@ long jz_find_restarts(const uint8_t* d, long n, int64_t* out, long cap) {
 // ---------------------------------------------------------------------------
 long jz_destuff_segments(const uint8_t* d, long n,
                          const int64_t* seg_offsets, long nseg,
-                         uint8_t* out, long L, int nthreads) {
+                         uint8_t* out, long L, int64_t* out_lens,
+                         int nthreads) {
     if (nthreads <= 0) {
         nthreads = (int)std::thread::hardware_concurrency();
         if (nthreads <= 0) nthreads = 4;
@@ -115,6 +116,8 @@ long jz_destuff_segments(const uint8_t* d, long n,
                 row[o++] = b;
                 ++i;
             }
+            if (out_lens) out_lens[s] = o;  // for the device decoder's
+                                            // bit-consumption check
             if (o > maxlen[t]) maxlen[t] = o;
         }
     };
@@ -502,6 +505,103 @@ int64_t jz_entropy_decode_fast(
         }
     }
     return n_mcus;
+}
+
+// ---------------------------------------------------------------------------
+// Index scan: pass 1 of the index-assisted parallel decode of RESTART-FREE
+// streams (SURVEY 2.7 option (b), the standard GPU-JPEG two-pass shape).
+//
+// Walks the destuffed stream serially decoding ONLY code lengths (plus DC
+// extra bits, which feed the predictors), recording every k_mcus MCUs:
+// the bit offset of the pseudo-segment start and the 3 absolute DC
+// predictor values at that point.  Pass 2 re-decodes all pseudo-segments
+// in parallel on the device (ops/entropy_decode.decode_segments with
+// per-lane skip0 bits + preds0) -- the serial dependency collapses to
+// this cheap length-only scan.
+//
+// Returns number of index entries written, or negative on a format error.
+// ---------------------------------------------------------------------------
+int64_t jz_index_scan(
+    const uint8_t* destuffed, long nbytes,   // + >=8 zero pad bytes after
+    const int32_t* const* dc_luts, const int32_t* const* ac_luts,
+    int ncomp, const int32_t* comp_h, const int32_t* comp_v,
+    int64_t n_mcus, int64_t k_mcus,
+    int64_t* out_bitoffs,                    // [ceil(n_mcus/k_mcus)]
+    int32_t* out_preds                       // [ceil(n_mcus/k_mcus) * 3]
+) {
+    fastbits::Reader br{destuffed};
+    int64_t pred[4] = {0, 0, 0, 0};
+    const int64_t bit_limit = (int64_t)nbytes * 8 + 64;
+    int64_t nidx = 0;
+
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        if (m % k_mcus == 0) {
+            out_bitoffs[nidx] = br.bitpos();
+            for (int c = 0; c < 3; ++c)
+                out_preds[nidx * 3 + c] = (int32_t)pred[c];
+            ++nidx;
+        }
+        for (int c = 0; c < ncomp; ++c) {
+            const int32_t* dlut = dc_luts[c];
+            const int32_t* alut = ac_luts[c];
+            int nb = comp_h[c] * comp_v[c];
+            for (int k = 0; k < nb; ++k) {
+                if (br.bitpos() > bit_limit) return -6;
+                br.fill();
+                int32_t e = dlut[br.peek16()];
+                if (e < 0) return -3;
+                int cat = e >> 8;
+                br.drop(e & 0xFF);
+                if (cat > 0) {
+                    br.fill();
+                    int32_t v = (int32_t)(br.acc >> (64 - cat));
+                    br.drop(cat);
+                    if (!(v & (1 << (cat - 1)))) v -= (1 << cat) - 1;
+                    pred[c] += v;
+                }
+                int kk = 1;
+                while (kk < 64) {
+                    br.fill();
+                    int32_t ae = alut[br.peek16()];
+                    if (ae < 0) return -4;
+                    int rs = ae >> 8;
+                    br.drop(ae & 0xFF);
+                    int run = rs >> 4, s = rs & 0x0F;
+                    if (s == 0) {
+                        if (run == 15) { kk += 16; continue; }
+                        break;
+                    }
+                    kk += run;
+                    if (kk > 63) return -5;
+                    br.fill();
+                    br.drop(s);                // length only: skip extras
+                    ++kk;
+                }
+            }
+        }
+    }
+    return nidx;
+}
+
+// ---------------------------------------------------------------------------
+// Copy pseudo-segment byte windows into fixed-stride rows (pass-2 prep for
+// the index-assisted decode): row s = destuffed[bitoffs[s]/8 ...), zero-
+// padded.  Returns max row byte length, or -(s+1) on stride overflow.
+// ---------------------------------------------------------------------------
+long jz_copy_bit_windows(const uint8_t* destuffed, long nbytes,
+                         const int64_t* bitoffs, long nseg,
+                         uint8_t* out, long L) {
+    long mx = 0;
+    for (long s = 0; s < nseg; ++s) {
+        long b0 = bitoffs[s] >> 3;
+        long b1 = (s + 1 < nseg) ? ((bitoffs[s + 1] >> 3) + 8) : nbytes;
+        if (b1 > nbytes) b1 = nbytes;
+        long n = b1 - b0;
+        if (n > L) return -(s + 1);
+        std::memcpy(out + s * L, destuffed + b0, (size_t)n);
+        if (n > mx) mx = n;
+    }
+    return mx;
 }
 
 // ---------------------------------------------------------------------------

@@ -837,8 +837,8 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
 
 @functools.partial(jax.jit, static_argnames=(
     "N", "nseg", "ri", "geom", "level", "qtuple"))
-def _decode_fused_batch_device(words, nblk, lut, *, N, nseg, ri, geom,
-                               level, qtuple):
+def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen, *, N, nseg,
+                               ri, geom, level, qtuple):
     """FULL device decode for restart-interval 4:2:0 streams: raw destuffed
     entropy bytes in, packed native-resolution u8 YCC planes out.
 
@@ -847,13 +847,18 @@ def _decode_fused_batch_device(words, nblk, lut, *, N, nseg, ri, geom,
     instead of ~0.6 B/px of sparse coefficients -- the decode analog of the
     encoder's on-device stream concat (VERDICT r3 #3; referent: the serial
     chain jpezy_decoder.hpp:583-642).
-    words: [N*nseg, Lw] uint32 BE segment matrix; nblk: [N*nseg] int32.
-    Output layout identical to _decode_fused_batch_ycc420 (one fetch; the
-    C++ runtime finishes upsample+color).
+    words: [N*nseg, Lw] uint32 BE segment matrix; nblk: [N*nseg] int32;
+    lut: [T, 6, 65536] with tsel [N*nseg] selecting each lane's table set
+    (per-image DHT tables, VERDICT r4 #3); rawlen: [N*nseg] destuffed byte
+    lengths feeding the corruption check (VERDICT r4 #4).
+    Output layout = _decode_fused_batch_ycc420 plus ONE trailing bad-flag
+    byte per image (still a single fetch; the C++ runtime finishes
+    upsample+color after _decode_batch_device_finish validates the flags).
     """
     from ..ops.entropy_decode import decode_segments
 
-    blocks = decode_segments(words, nblk, lut, max_blocks=ri * 6)
+    blocks, bad = decode_segments(words, nblk, lut, tsel, rawlen,
+                                  max_blocks=ri * 6)
     mcus_y, mcus_x = geom[0][0], geom[0][1]
     nmcu = mcus_y * mcus_x
     b6 = blocks.reshape(N, nseg * ri, 6, 64)[:, :nmcu]
@@ -871,13 +876,15 @@ def _decode_fused_batch_device(words, nblk, lut, *, N, nseg, ri, geom,
         plane = spat.reshape(N, my, mx, v, h, 8, 8).transpose(
             0, 1, 3, 5, 2, 4, 6).reshape(N, my * v * 8, mx * h * 8)
         outs.append(jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(N, -1))
-    return jnp.concatenate(outs, axis=1)
+    badimg = jnp.any(bad.reshape(N, nseg), axis=1).astype(jnp.uint8)
+    return jnp.concatenate(outs + [badimg[:, None]], axis=1)
 
 
 def _device_host_frontend(pjs, nmcu: int, ri: int, nseg: int):
     """Host half of the device transport: restart offsets + per-segment
     destuff (C++, multithreaded) -> ([S, Lw] BE uint32 rows, [S] block
-    counts).  Split out for bench stage attribution (VERDICT r3 #4)."""
+    counts, [S] destuffed byte lengths for the corruption check).  Split
+    out for bench stage attribution (VERDICT r3 #4)."""
     from ..runtime import native
 
     N = len(pjs)
@@ -894,45 +901,62 @@ def _device_host_frontend(pjs, nmcu: int, ri: int, nseg: int):
     while L < raw_max + 8:
         L *= 2
     rows = np.zeros((N * nseg, L), np.uint8)
+    lens = np.zeros(N * nseg, np.int64)
     for i, (d, of) in enumerate(zip(datas, offs)):
-        native.destuff_segments(d, of, rows[i * nseg: (i + 1) * nseg])
+        native.destuff_segments(d, of, rows[i * nseg: (i + 1) * nseg],
+                                lens[i * nseg: (i + 1) * nseg])
     words = rows.view(">u4").astype("=u4")         # [S, L/4] BE-packed
     nblk = np.minimum(ri, nmcu - np.arange(nseg) * ri) * 6
     nblk = np.tile(nblk.astype(np.int32), N)
-    return words, nblk
+    return words, nblk, lens.astype(np.int32)
+
+
+def _device_luts(pjs, nseg: int):
+    """Per-image decode LUTs, deduplicated by table content: [T, 6, 65536]
+    stacked sets + a per-lane table index [N*nseg] (VERDICT r4 #3: foreign
+    restart streams and our own optimize=True output carry arbitrary DHT
+    tables; the reference decodes any assignment,
+    jpezy_decoder.hpp:190-256)."""
+    from ..ops.entropy_decode import build_decode_lut, lut_content_key
+
+    keys: dict[bytes, int] = {}
+    luts = []
+    tsel_img = np.empty(len(pjs), np.int32)
+    for i, pj in enumerate(pjs):
+        k = lut_content_key(pj.huff, pj.scan_components)
+        if k not in keys:
+            keys[k] = len(luts)
+            luts.append(build_decode_lut(pj.huff, pj.scan_components))
+        tsel_img[i] = keys[k]
+    return np.stack(luts), np.repeat(tsel_img, nseg)
 
 
 def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     """Host prep for the full device decode (transport='device'): find
     restart offsets, destuff segments into a [S, L] matrix (C++,
-    multithreaded), ONE upload of big-endian words + per-lane block counts.
-    Requires: every stream shares p0's restart_interval and Huffman tables
-    (our encoder's batches do)."""
-    from ..ops.entropy_decode import build_decode_lut, device_lut
+    multithreaded), ONE upload of big-endian words + per-lane block counts
+    + destuffed lengths.  Requires: every stream shares p0's
+    restart_interval and quant tables; Huffman tables may differ per image
+    (deduplicated LUT sets, per-lane select)."""
+    from ..ops.entropy_decode import device_lut
     from ..runtime import native
 
     native.get_lib()
     ri = p0.restart_interval
     if ri <= 0:
         raise ValueError("transport='device' needs restart-interval streams")
-    # the LUT rows assume the standard table assignment Y->0, C->1
-    if [(sc.Td, sc.Ta) for sc in p0.scan_components] != [(0, 0), (1, 1),
-                                                         (1, 1)]:
-        raise ValueError("transport='device' needs standard table ids")
     for pj in pjs[1:]:
         if pj.restart_interval != ri:
             raise ValueError("transport='device' needs uniform DRI")
-        for cls in (0, 1):
-            for tid in (0, 1):
-                a, b = p0.huff[cls][tid], pj.huff[cls][tid]
-                if (not np.array_equal(a.sizes, b.sizes)
-                        or not np.array_equal(a.values, b.values)):
-                    raise ValueError(
-                        "transport='device' needs uniform Huffman tables")
+        for fc, fc0 in zip(pj.frame_components, p0.frame_components):
+            if not np.array_equal(pj.quant[fc.Tq], p0.quant[fc0.Tq]):
+                raise ValueError(
+                    "transport='device' needs uniform quant tables")
     N = len(pjs)
     nmcu = mcus_x * mcus_y
     nseg = -(-nmcu // ri)
-    words, nblk = _device_host_frontend(pjs, nmcu, ri, nseg)
+    words, nblk, rawlen = _device_host_frontend(pjs, nmcu, ri, nseg)
+    lut, tsel = _device_luts(pjs, nseg)
     geom = tuple(
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
         for i, fc in enumerate(p0.frame_components)
@@ -942,12 +966,12 @@ def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
         for fc in p0.frame_components
     )
     packed = _decode_fused_batch_device(
-        jnp.asarray(words), jnp.asarray(nblk),
-        device_lut(build_decode_lut(p0.huff)),
+        jnp.asarray(words), jnp.asarray(nblk), device_lut(lut),
+        jnp.asarray(tsel), jnp.asarray(rawlen),
         N=N, nseg=nseg, ri=ri, geom=geom, level=level, qtuple=qtuple,
     )
-    # same output layout/finish as the ycc420 transport
-    return ("ycc420", packed, p0.props, N, mcus_x, mcus_y)
+    # ycc420 layout + one bad-flag byte per image (_decode_batch_device_finish)
+    return ("device", packed, p0.props, N, mcus_x, mcus_y)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1072,6 +1096,8 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
 def decode_batch_finish(ticket) -> tuple[np.ndarray, ImageProps]:
     """Block on a dispatched batch decode and return ([N,H,W,3] u8, props)."""
     kind = ticket[0]
+    if kind == "device":
+        return _decode_batch_device_finish(ticket)
     if kind == "ycc420":
         return _decode_batch_ycc420_finish(ticket)
     _, out, props = ticket
@@ -1192,6 +1218,22 @@ def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     return ("ycc420", packed, p0.props, N, mcus_x, mcus_y)
 
 
+def _decode_batch_device_finish(ticket):
+    """Validate the per-image corruption flags the device scan appended,
+    then reuse the ycc420 color tail.  The reference propagates decode
+    failure as an empty optional (jpezy_decoder.hpp:593,635 -> 109-120);
+    our host paths raise -- so does the device transport (VERDICT r4 #4)."""
+    _, packed, props, N, mcus_x, mcus_y = ticket
+    packed = np.asarray(packed)  # ONE fetch (planes + flags)
+    bad = packed[:, -1]
+    if bad.any():
+        raise ValueError(
+            "corrupt entropy data in stream(s) "
+            f"{np.nonzero(bad)[0].tolist()} (device Huffman scan)")
+    return _decode_batch_ycc420_finish(
+        ("ycc420", packed[:, :-1], props, N, mcus_x, mcus_y))
+
+
 def _decode_batch_ycc420_finish(ticket):
     from ..runtime import native
 
@@ -1266,12 +1308,11 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
                 except (ImportError, ValueError):
                     if not auto or transport != "device":
                         raise
-                    # auto device pick ineligible (e.g. nonstandard table
-                    # ids on a foreign stream): use the sparse transport
+                    # auto device pick ineligible: use the sparse transport
                     ticket = _decode_batch_ycc420_dispatch(
                         [pj], pj, geos, mcus_x, mcus_y, level)
             with phase("device backend + fetch + color tail..."):
-                out, _ = _decode_batch_ycc420_finish(ticket)
+                out, _ = decode_batch_finish(ticket)
             out = out[0]
             return out[..., 0], out[..., 1], out[..., 2], props
         except ImportError:

@@ -13,24 +13,46 @@ This module decodes ALL segments in lockstep:
   outer `lax.scan` over block slots (R MCUs x 6 blocks per segment);
     inner `lax.while_loop` over Huffman symbols until every lane finished
     its current block;
-      per symbol and per lane: gather a 32-bit window from the destuffed
-      big-endian word matrix (2 word gathers), one combined-LUT gather
-      ([4, 65536]: Y/C x DC/AC, value = (HUFFVAL<<8)|bits, the same layout
-      as the host LUT in runtime/native.py), then branch-free vector ops:
-      category extraction, T.81 F.2.2.1 sign extension, ZRL/EOB control,
-      and a one-hot accumulate into the current [S, 64] block register
-      (the zigzag->natural permutation is a compile-time column permute,
-      so there is NO scatter anywhere).
+      per symbol and per lane: one 32-bit refill gather from the destuffed
+      big-endian word matrix into a per-lane 64-bit window register, one
+      combined-LUT gather ([T, 6, 65536]: table-set x component-class
+      rows, value = (HUFFVAL<<8)|bits, same entry layout as the host LUT
+      in runtime/native.py), then branch-free vector ops: category
+      extraction, T.81 F.2.2.1 sign extension, ZRL/EOB control, and a
+      one-hot accumulate into the current [S, 64] block register (the
+      zigzag->natural permutation is a compile-time column permute, so
+      there is NO scatter anywhere).
 
-Completed blocks flush through the scan's ys into [S, R*6, 64] int16 --
-MCU slot order (Y0 Y1 Y2 Y3 Cb Cr), which reshapes directly into the
-per-component layout the dequant/IDCT backend consumes.  The upload for a
-full decode is raw destuffed entropy bytes (~0.07 B/px) instead of sparse
-coefficients (~0.6 B/px).
+Per-lane TABLE SELECT (round 5): each lane carries a table-set index
+`tsel` into the leading LUT axis, so a batch may mix streams with
+different DHT tables (foreign restart JPEGs, our own optimize=True output
+whose tables are per-image) -- the reference decodes arbitrary DHT
+assignments (jpezy_decoder.hpp:190-256) and so does this path now.
+Identical table sets are deduplicated host-side and the device copy is
+content-cached, so the standard Annex-K case still uploads one 1.5 MiB
+LUT once per process.
+
+CORRUPTION SIGNAL (round 5): the reference propagates negative returns on
+invalid codes (jpezy_decoder.hpp:593,635); the lockstep scan accumulates a
+per-lane `bad` flag instead of silently skipping:
+  - invalid LUT window (no code matches),
+  - AC coefficient index overflow (run crosses position 63, the
+    reference's -5),
+  - ZRL pushing the index past 63,
+  - and, with `rawlen` given, a final bit-consumption mismatch: a valid
+    segment consumes exactly ceil(bits/8) == rawlen destuffed bytes, so
+    any code-length drift a bit flip causes is caught even when every
+    window stays decodable (stronger than the reference's check).
+
+Completed blocks flush through the scan's ys into [S, max_blocks, 64]
+int16 -- MCU slot order (Y0 Y1 Y2 Y3 Cb Cr), which reshapes directly into
+the per-component layout the dequant/IDCT backend consumes.  The upload
+for a full decode is raw destuffed entropy bytes (~0.07 B/px) instead of
+sparse coefficients (~0.6 B/px).
 
 Everything is int32 arithmetic on [S]-vectors: no data-dependent Python
-control flow, static shapes, one compiled program per (S, Lw, max_blocks)
-bucket.
+control flow, static shapes, one compiled program per
+(S, Lw, max_blocks, T) bucket.
 """
 from __future__ import annotations
 
@@ -46,56 +68,98 @@ from ..core import tables as T
 # taking zigzag position k to natural position ZIGZAG[k] (static, free).
 _ZZ_INV = np.asarray(T.NATURAL_TO_ZIGZAG)  # [natural j] -> zigzag k
 
+_STD_TDTA = ((0, 0), (1, 1), (1, 1))
 
-def build_decode_lut(huff) -> np.ndarray:
-    """[4, 65536] int32 combined decode LUT from parsed DHT tables.
 
-    huff: ParsedJpeg.huff ({0: dc tables, 1: ac tables} keyed by table id);
-    rows: 0 = Y-DC (id 0), 1 = Y-AC, 2 = C-DC (id 1), 3 = C-AC.
+def build_decode_lut(huff, scan_components=None) -> np.ndarray:
+    """[6, 65536] int32 combined decode LUT from parsed DHT tables.
+
+    huff: ParsedJpeg.huff ({0: dc tables, 1: ac tables} keyed by table id).
+    scan_components: the stream's Td/Ta assignment (ParsedJpeg
+    .scan_components); None = the standard Y->0, C->1 assignment.
+    Rows: comp c's DC at 2c, AC at 2c+1.
     Entry = (HUFFVAL << 8) | code_bits for the 16-bit window, -1 invalid
     (same contract as the host LUT, runtime/native.py:_huff_lut).
     """
     from ..runtime.native import _huff_lut
 
-    rows = [huff[0][0], huff[1][0], huff[0][1], huff[1][1]]
-    return np.stack([_huff_lut(t) for t in rows])
+    tdta = (_STD_TDTA if scan_components is None
+            else [(sc.Td, sc.Ta) for sc in scan_components])
+    if len(tdta) != 3:
+        raise ValueError("device decode LUT needs 3 scan components")
+    rows = []
+    for td, ta in tdta:
+        rows.append(_huff_lut(huff[0][td]))
+        rows.append(_huff_lut(huff[1][ta]))
+    return np.stack(rows)
+
+
+def lut_content_key(huff, scan_components=None) -> bytes:
+    """Content hash of the table set a stream resolves to -- the dedup key
+    for batching streams with mixed DHT tables."""
+    import hashlib
+
+    tdta = (_STD_TDTA if scan_components is None
+            else [(sc.Td, sc.Ta) for sc in scan_components])
+    hsh = hashlib.sha1()
+    for td, ta in tdta:
+        for cls, tid in ((0, td), (1, ta)):
+            t = huff[cls][tid]
+            hsh.update(np.asarray(t.sizes, np.int32).tobytes())
+            hsh.update(np.asarray(t.codes, np.int32).tobytes())
+            hsh.update(np.asarray(t.values, np.int32).tobytes())
+    return hsh.digest()
 
 
 @functools.lru_cache(maxsize=8)
-def _device_lut(key, lut_bytes: bytes) -> jax.Array:
+def _device_lut(key, lut_bytes: bytes, shape) -> jax.Array:
     """Device-resident LUT, cached by content hash: standard streams all
-    share the Annex K tables, so the 1 MiB upload happens once per
-    process, not once per batch (the tunnel moves ~30 MiB/s)."""
-    return jnp.asarray(
-        np.frombuffer(lut_bytes, np.int32).reshape(4, 65536))
+    share the Annex K tables, so the upload happens once per process, not
+    once per batch (the tunnel moves ~30 MiB/s)."""
+    return jnp.asarray(np.frombuffer(lut_bytes, np.int32).reshape(shape))
 
 
 def device_lut(lut: np.ndarray) -> jax.Array:
     b = np.ascontiguousarray(lut, np.int32).tobytes()
     import hashlib
 
-    return _device_lut(hashlib.sha1(b).hexdigest(), b)
+    return _device_lut(hashlib.sha1(b).hexdigest(), b, lut.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("max_blocks",))
-def decode_segments(words, nblk, lut, *, max_blocks: int):
+def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
+                    skip0=None, preds0=None, *, max_blocks: int):
     """Lockstep-decode S restart segments -> dense coefficient blocks.
 
     words: [S, Lw] uint32, big-endian-packed DESTUFFED segment bytes,
       zero-padded (>= 4 pad bytes past the last entropy byte per row).
     nblk:  [S] int32, blocks to decode per segment (tail segments and
       batch padding lanes decode fewer; their remaining blocks are zeros).
-    lut:   [4, 65536] int32 (build_decode_lut / device_lut).
+    lut:   [T, 6, 65536] int32 ([6, 65536] accepted as T == 1;
+      build_decode_lut / device_lut).
+    tsel:  [S] int32 table-set index per lane into lut's leading axis
+      (None = all lanes use set 0).
+    rawlen: [S] int32 destuffed byte length per lane; when given, a final
+      bit-consumption mismatch sets the lane's bad flag (see module doc).
+    skip0: [S] int32 bits to pre-consume per lane (0..7) -- pseudo-segments
+      of the index-assisted restart-free decode start at arbitrary bit
+      offsets within their row's first byte (SURVEY 2.7 option (b)).
+    preds0: [S, 3] int32 initial DC predictors per lane (the index scan's
+      absolute DC values; None = zeros, the restart semantics).
     max_blocks: R * blocks_per_mcu, the scan length.
 
-    Returns [S, max_blocks, 64] int16 natural-order blocks, DC absolute
-    within each segment (restart semantics: predictors reset per segment).
+    Returns (blocks [S, max_blocks, 64] int16 natural-order with DC
+    absolute within each segment, bad [S] bool corruption flags).
     """
+    if lut.ndim == 2:
+        lut = lut[None]
     S, Lw = words.shape
     lutf = lut.reshape(-1)
     iota64 = jnp.arange(64, dtype=jnp.int32)
     zero_s = jnp.zeros((S,), jnp.int32)
     zero_u = jnp.zeros((S,), jnp.uint32)
+    base6 = (jnp.zeros((S,), jnp.int32) if tsel is None
+             else tsel.astype(jnp.int32) * 6)
 
     # Bit cursor = a per-lane 64-bit window register (hi, lo uint32 pair):
     # `navail` valid bits at the TOP, zeros below, next stream bit = MSB of
@@ -124,18 +188,19 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
                 jnp.where(take, navail - k, navail))
 
     def block_body(carry):
-        hi, lo, navail, widx, kk, blk, pred, done, chroma = carry
+        hi, lo, navail, widx, kk, blk, pred, done, row, bad = carry
         active = ~done
         hi, lo, navail, widx = refill(hi, lo, navail, widx, active)
         win = hi
         is_dc = kk == 0
-        sel = chroma.astype(jnp.int32) * 2 + (~is_dc).astype(jnp.int32)
+        sel = row + (~is_dc).astype(jnp.int32)
         e = lutf[sel * 65536 + (win >> 16).astype(jnp.int32)]
-        # invalid windows (-1) only occur on corrupt streams; treat as an
-        # 8-bit skip so the loop still terminates (host paths validate)
-        bad = e < 0
-        ln = jnp.where(bad, 8, e & 0xFF)
-        val = jnp.where(bad, 0, e >> 8)
+        # invalid windows only occur on corrupt streams; treat as an 8-bit
+        # skip so the loop still terminates, and FLAG the lane (the
+        # reference propagates a negative return, jpezy_decoder.hpp:593)
+        badsym = e < 0
+        ln = jnp.where(badsym, 8, e & 0xFF)
+        val = jnp.where(badsym, 0, e >> 8)
         run = val >> 4
         s_ = val & 15
         ncat = jnp.where(is_dc, val, s_)          # extra (category) bits
@@ -152,6 +217,9 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
         is_zrl = (~is_dc) & (s_ == 0) & (run == 15)
         dc_new = pred + v
         kk_ac = kk + run                           # this AC's zigzag index
+        ac_over = (~is_dc) & (s_ > 0) & (kk_ac > 63)   # reference's -5
+        zrl_over = is_zrl & (kk + 16 > 63)   # 16 zeros past the block end
+        bad = bad | (active & (badsym | ac_over | zrl_over))
         write = active & ~is_eob & ~is_zrl & jnp.where(is_dc, True, kk_ac <= 63)
         wval = jnp.where(is_dc, dc_new, v)
         wpos_zz = jnp.where(is_dc, 0, kk_ac)       # zigzag index written
@@ -169,26 +237,41 @@ def decode_segments(words, nblk, lut, *, max_blocks: int):
         # kk > 63 ends the block; the word-index bound makes corrupt input
         # (invalid windows never advancing kk) terminate instead of hanging
         done = done | (active & (is_eob | (kk > 63))) | (widx > Lw)
-        return hi, lo, navail, widx, kk, blk, pred, done, chroma
+        return hi, lo, navail, widx, kk, blk, pred, done, row, bad
 
     def outer(carry, b):
-        hi, lo, navail, widx, preds = carry        # preds [S, 3]
+        hi, lo, navail, widx, preds, bad = carry   # preds [S, 3]
         slot = b % 6                               # Y0..Y3, Cb, Cr
-        chroma_scalar = slot >= 4
         comp = jnp.where(slot < 4, 0, slot - 3)
         pred0 = jnp.take_along_axis(
             preds, jnp.full((S, 1), comp, jnp.int32), axis=1)[:, 0]
-        chroma = jnp.full((S,), chroma_scalar)
+        row = base6 + comp * 2                     # lane's DC row in lutf
         done0 = b >= nblk
         init = (hi, lo, navail, widx, zero_s,
-                jnp.zeros((S, 64), jnp.int32), pred0, done0, chroma)
-        hi, lo, navail, widx, _, blk, pred, _, _ = jax.lax.while_loop(
+                jnp.zeros((S, 64), jnp.int32), pred0, done0, row, bad)
+        hi, lo, navail, widx, _, blk, pred, _, _, bad = jax.lax.while_loop(
             lambda c: jnp.any(~c[7]), block_body, init)
         col = jnp.arange(3, dtype=jnp.int32)[None, :]
         preds = jnp.where(col == comp, pred[:, None], preds)
-        return (hi, lo, navail, widx, preds), blk.astype(jnp.int16)
+        return (hi, lo, navail, widx, preds, bad), blk.astype(jnp.int16)
 
-    init = (zero_u, zero_u, zero_s, zero_s, jnp.zeros((S, 3), jnp.int32))
-    _, blocks = jax.lax.scan(
+    hi0, lo0, na0, wi0 = zero_u, zero_u, zero_s, zero_s
+    if skip0 is not None:
+        # pre-consume the intra-byte phase of each lane's start offset
+        all_on = jnp.ones((S,), bool)
+        hi0, lo0, na0, wi0 = refill(hi0, lo0, na0, wi0, all_on)
+        hi0, lo0, na0 = consume(hi0, lo0, na0, skip0.astype(jnp.int32),
+                                all_on)
+    p0 = (jnp.zeros((S, 3), jnp.int32) if preds0 is None
+          else preds0.astype(jnp.int32))
+    init = (hi0, lo0, na0, wi0, p0, jnp.zeros((S,), bool))
+    (hi, lo, navail, widx, _, bad), blocks = jax.lax.scan(
         outer, init, jnp.arange(max_blocks, dtype=jnp.int32))
-    return blocks.transpose(1, 0, 2)               # [S, max_blocks, 64]
+    if rawlen is not None:
+        # a valid segment's payload bits land in the last destuffed byte:
+        # consumed in (8*(rawlen-1), 8*rawlen].  Catches code-length drift
+        # from bit flips even when every window decodes (module doc).
+        consumed = widx * 32 - navail
+        exp = rawlen.astype(jnp.int32) * 8
+        bad = bad | (consumed > exp) | (consumed <= exp - 8)
+    return blocks.transpose(1, 0, 2), bad           # [S, max_blocks, 64]

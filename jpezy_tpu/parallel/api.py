@@ -114,7 +114,8 @@ def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
     if nmcu % ri:
         raise ValueError("sharded device decode needs ri | nmcu")
     nseg = nmcu // ri
-    if N % data_ax or nseg % tile_ax or (nseg // tile_ax * ri) % mcus_x:
+    n_glob = N * jax.process_count()   # multi-host: pjs are local images
+    if n_glob % data_ax or nseg % tile_ax or (nseg // tile_ax * ri) % mcus_x:
         raise ValueError("mesh shape does not divide segments/MCU rows")
     for pj in pjs[1:]:
         if pj.restart_interval != ri:
@@ -126,16 +127,31 @@ def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
                         or not np.array_equal(a.values, b.values)):
                     raise ValueError("uniform Huffman tables required")
 
-    words, nblk = _device_host_frontend(pjs, nmcu, ri, nseg)
+    words, nblk, _rawlen = _device_host_frontend(pjs, nmcu, ri, nseg)
     qtuple = tuple(tuple(int(x) for x in p0.quant[fc.Tq])
                    for fc in p0.frame_components)
     fn = sharded.make_sharded_decode_device(
         mesh, ri=ri, mcus_x=mcus_x, level=level, qtuple=qtuple)
+    Lw = words.shape[1]
+    if jax.process_count() > 1:
+        # multi-host: `streams`/pjs are THIS process's local images; each
+        # host feeds its own frontend output (no bytes cross DCN) and
+        # reassembles its own rows from the addressable shards
+        from .distributed import (gather_local_rows, make_global_from_local,
+                                  replicate_global)
+        from jax.sharding import PartitionSpec as P
+
+        words_d = make_global_from_local(
+            mesh, words.reshape(N, nseg, Lw), P("data", "tile", None))
+        nblk_d = make_global_from_local(
+            mesh, nblk.reshape(N, nseg), P("data", "tile"))
+        lut_d = replicate_global(mesh, build_decode_lut(p0.huff))
+        out = gather_local_rows(fn(words_d, nblk_d, lut_d), N)
+        return out[:, :p0.props.height, :p0.props.width]
     spec3 = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("data", "tile", None))
     spec2 = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("data", "tile"))
-    Lw = words.shape[1]
     words_d = jax.device_put(words.reshape(N, nseg, Lw), spec3)
     nblk_d = jax.device_put(nblk.reshape(N, nseg), spec2)
     out = np.asarray(fn(words_d, nblk_d,

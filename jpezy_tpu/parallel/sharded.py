@@ -432,7 +432,7 @@ def make_sharded_decode_device(mesh: Mesh, *, ri: int, mcus_x: int,
 
     fn(words [N, nseg, Lw] u32 P('data','tile',None),
        nblk [N, nseg] i32 P('data','tile'),
-       lut [4, 65536] i32 replicated)
+       lut [6, 65536] i32 replicated (build_decode_lut row layout))
       -> uint8 [N, H_mcu, W_mcu, 3] P('data','tile',None,None)
     with the reference's clamp-AFTER-color semantics (same pixels as the
     rgb transport).
@@ -444,7 +444,9 @@ def make_sharded_decode_device(mesh: Mesh, *, ri: int, mcus_x: int,
 
     def local(words, nblk, lut):
         n_loc, nseg_loc, Lw = words.shape
-        blocks = decode_segments(
+        # bad flags are unused here: the mesh path feeds trusted streams
+        # (our own encoder's); the batch transport validates foreign input
+        blocks, _bad = decode_segments(
             words.reshape(-1, Lw), nblk.reshape(-1), lut, max_blocks=mb)
         mcus_loc = nseg_loc * ri
         rows_loc = mcus_loc // mcus_x

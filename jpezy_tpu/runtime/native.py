@@ -110,7 +110,7 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_destuff_segments.restype = ctypes.c_long
         lib.jz_destuff_segments.argtypes = [
             c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
-            c_u8p, ctypes.c_long, ctypes.c_int,
+            c_u8p, ctypes.c_long, c_i64p, ctypes.c_int,
         ]
         lib.jz_entropy_decode_mt.restype = ctypes.c_int64
         lib.jz_entropy_decode_mt.argtypes = [
@@ -295,17 +295,23 @@ def find_restart_offsets(data: np.ndarray, n_mcus: int,
 
 
 def destuff_segments(data: np.ndarray, seg_offsets: np.ndarray,
-                     out_rows: np.ndarray, nthreads: int = 0) -> int:
+                     out_rows: np.ndarray, out_lens: np.ndarray | None = None,
+                     nthreads: int = 0) -> int:
     """Destuff each restart segment into zero-padded rows of out_rows
-    [nseg, L] uint8 (caller-zeroed).  Returns max destuffed length."""
+    [nseg, L] uint8 (caller-zeroed).  out_lens [nseg] int64 (optional)
+    receives per-segment destuffed byte lengths (the device decoder's
+    bit-consumption corruption check).  Returns max destuffed length."""
     lib = get_lib()
     data = np.ascontiguousarray(data, np.uint8)
     seg_offsets = np.ascontiguousarray(seg_offsets, np.int64)
     nseg, L = out_rows.shape
+    P64 = ctypes.POINTER(ctypes.c_int64)
     rc = lib.jz_destuff_segments(
         _u8p(data), len(data),
-        seg_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nseg,
-        _u8p(out_rows), L, nthreads)
+        seg_offsets.ctypes.data_as(P64), nseg,
+        _u8p(out_rows), L,
+        None if out_lens is None else out_lens.ctypes.data_as(P64),
+        nthreads)
     if rc < 0:
         raise ValueError(f"segment {-rc - 1} overflowed the row stride {L}")
     return int(rc)

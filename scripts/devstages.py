@@ -159,12 +159,15 @@ def main():
     pjs = [parse(s) for s in streams_ri]
     nmcu = (h // 16) * (w // 16)
     nseg = nmcu // RI
-    wordsH, nblkH = _device_host_frontend(pjs, nmcu, RI, nseg)
+    wordsH, nblkH, rawlenH = _device_host_frontend(pjs, nmcu, RI, nseg)
     wd = jax.block_until_ready(jnp.asarray(wordsH))
     nb = jax.block_until_ready(jnp.asarray(nblkH))
+    rl = jax.block_until_ready(jnp.asarray(rawlenH))
+    tsel = jax.block_until_ready(
+        jnp.zeros(wd.shape[0], jnp.int32))
     lut = device_lut(build_decode_lut(pjs[0].huff))
     scan = jax.jit(functools.partial(decode_segments, max_blocks=RI * 6))
-    clock(f"decode scan S={wd.shape[0]}", scan, (wd, nb, lut))
+    clock(f"decode scan S={wd.shape[0]}", scan, (wd, nb, lut, tsel, rl))
     geom = ((h // 16, w // 16, 2, 2, 1, 1), (h // 16, w // 16, 1, 1, 2, 2),
             (h // 16, w // 16, 1, 1, 2, 2))
     qt = tuple(tuple(int(x) for x in pjs[0].quant[fc.Tq])
@@ -172,7 +175,7 @@ def main():
     fulldec = jax.jit(functools.partial(
         _decode_fused_batch_device.__wrapped__, N=N, nseg=nseg, ri=RI,
         geom=geom, level=128, qtuple=qt))
-    clock("FULL device decode (w/ scan)", fulldec, (wd, nb, lut))
+    clock("FULL device decode (w/ scan)", fulldec, (wd, nb, lut, tsel, rl))
 
     # decode e2e (host+device+transfers)
     streams = JC.encode_batch(rgbs)

@@ -75,6 +75,22 @@ stream = writer.assemble(
 ref = jax_codec.encode(local[0, ..., 0], local[0, ..., 1], local[0, ..., 2])
 assert stream == ref, "multi-process sharded stream != single-device encode"
 print(f"proc {pid}: OK ({len(stream)} bytes)")
+
+# --- round 5 (VERDICT r4 #8): process-boundary DECODE, restart + device
+# entropy path.  Each process feeds ITS OWN streams' frontend output
+# (make_array_from_process_local_data, no bytes over "DCN") and
+# reassembles its own pixel rows from the addressable shards.
+from jpezy_tpu.parallel.api import decode_sharded
+
+streams_local = [jax_codec.encode(
+    local[0, ..., 0], local[0, ..., 1], local[0, ..., 2],
+    restart_interval=2)]
+pix = decode_sharded(mesh, streams_local)
+assert pix.shape[0] == 1, pix.shape
+r0, g0, b0, _ = jax_codec.decode(streams_local[0], transport="rgb")
+assert np.array_equal(pix[0], np.stack([r0, g0, b0], -1)), \
+    "multi-process sharded decode != single-device decode"
+print(f"proc {pid}: DECODE OK")
 """
 
 
@@ -106,3 +122,4 @@ def test_two_process_distributed_encode(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
         assert f"proc {pid}: OK" in out
+        assert f"proc {pid}: DECODE OK" in out
