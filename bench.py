@@ -355,6 +355,89 @@ def measure(platform: str) -> dict:
     dec_attr["device_transport_upload_mib"] = round(
         words_h.nbytes / 2**20, 2)
 
+    # ---- device STAGE attribution (VERDICT r4 #1): sync-bracketed device
+    # time per encode stage (quantize / emissions+interleave / pack /
+    # concat) and for the decode Huffman scan alone, at the batch shape.
+    # Stages re-run standalone, so their sum can exceed the fused total
+    # (XLA fuses across stage boundaries); the deltas still rank them.
+    import functools as _ft
+
+    from jpezy_tpu.ops import entropy as E_ops
+    from jpezy_tpu.ops.entropy_decode import decode_segments as _dseg
+    from jpezy_tpu.parallel import sharded as SH
+
+    quant_fn = jax.jit(_ft.partial(
+        SH._quantize_local_ycc, gray=False, dtype=jnp.float32,
+        rounded=False, qtables=None))
+    q3 = quant_fn(*dev)
+    jax.block_until_ready(q3)
+    t_quant = _bracket(lambda: quant_fn(*dev), lambda o: o[0][0, :1, 0])
+
+    def _emit_interleave(yq, cbq, crq):
+        ems = []
+        for q, chroma in ((yq, False), (cbq, True), (crq, True)):
+            dc = q[:, :, 0]
+            pred = jnp.concatenate(
+                [jnp.zeros_like(dc[:, :1]), dc[:, :-1]], axis=1)
+            ems.append(E_ops.block_emissions(
+                q.reshape(-1, 64), pred.reshape(-1), chroma))
+        N_, nm = cbq.shape[0], cbq.shape[1]
+        return tuple(
+            jnp.concatenate(
+                [ems[0][j].reshape(N_, nm, 4, 64),
+                 ems[1][j].reshape(N_, nm, 1, 64),
+                 ems[2][j].reshape(N_, nm, 1, 64)], axis=2
+            ).reshape(N_ * nm * 6, 64)
+            for j in range(3))
+
+    emit_fn = jax.jit(_emit_interleave)
+    hilon = emit_fn(*q3)
+    hilon = jax.block_until_ready(hilon)
+    t_emit = _bracket(lambda: emit_fn(*q3), lambda o: o[0][:1, 0])
+
+    pack_fn = jax.jit(E_ops.pack_block_words)
+    wb = pack_fn(*hilon)
+    wb = jax.block_until_ready(wb)
+    t_pack = _bracket(lambda: pack_fn(*hilon), lambda o: o[0][:1, 0])
+
+    from jpezy_tpu.codec.jax_codec import stream_budget_words_batch
+    nm6 = q3[1].shape[1] * 6
+    maxw_b = stream_budget_words_batch(nm6)
+    wordsN = jax.block_until_ready(wb[0].reshape(batch_n, nm6, -1))
+    bitsN = jax.block_until_ready(wb[1].reshape(batch_n, nm6))
+    concat_fn = jax.jit(
+        lambda ww, bb: E_ops.concat_device_batch(ww, bb, maxw_b))
+    cc = concat_fn(wordsN, bitsN)
+    jax.block_until_ready(cc)
+    t_concat = _bracket(lambda: concat_fn(wordsN, bitsN),
+                        lambda o: o[0][:1, 0])
+
+    scan_fn = jax.jit(_ft.partial(_dseg, max_blocks=RI * 6))
+    sc = scan_fn(words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev)
+    jax.block_until_ready(sc)
+    t_scan_only = _bracket(
+        lambda: scan_fn(words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev),
+        lambda o: o[0][:1, 0, 0])
+
+    stage_attr = {
+        "quantize_ms": round(t_quant * 1e3, 2),
+        "emissions_ms": round(t_emit * 1e3, 2),
+        "pack_ms": round(t_pack * 1e3, 2),
+        "concat_ms": round(t_concat * 1e3, 2),
+        "encode_fused_ms": round(t_dev * 1e3, 2),
+        "encode_device_mps": round(batch_n * mp / t_dev, 1),
+        "decode_scan_ms": round(t_scan_only * 1e3, 2),
+        "decode_scan_mps": round(batch_n * mp / t_scan_only, 1),
+        "decode_backend_ms": round(t_dev_d * 1e3, 2),
+    }
+    log(f"device stage attribution x{batch_n}: quantize "
+        f"{t_quant*1e3:.2f}ms, emissions+interleave {t_emit*1e3:.2f}ms, "
+        f"pack {t_pack*1e3:.2f}ms, concat {t_concat*1e3:.2f}ms "
+        f"(standalone; fused encode total {t_dev*1e3:.2f}ms = "
+        f"{batch_n*mp/t_dev:.0f} MP/s); decode scan alone "
+        f"{t_scan_only*1e3:.2f}ms ({batch_n*mp/t_scan_only:.0f} MP/s), "
+        f"dequant+IDCT+planes {t_dev_d*1e3:.2f}ms")
+
     # ---- link duplex proof (VERDICT r3 #1): serial bandwidths, then one
     # thread uploading while another fetches -- does the tunnel overlap?
     import threading
@@ -408,30 +491,46 @@ def measure(platform: str) -> dict:
         f"round-trip bound {bound_proven:.1f} MP/s (half-duplex "
         f"{bound_serial:.1f}, full-duplex {bound_duplex:.1f})")
 
-    # ---- pipelined steady state: thread-staged pipeline (runtime/
-    # pipeline.py) overlapping host work and transfers across batches.
-    # Configs: standard streams, and restart streams with the device
-    # entropy decoder (less upload, less host work).  Every image is
-    # encoded to complete JFIF bytes and re-decoded from those bytes.
+    # ---- ADAPTIVE pipelined steady state (VERDICT r4 #5): ONE config,
+    # chosen by the bench's own probes rather than a max() sweep:
+    #   - stream/transport: whichever serial config measured faster above
+    #     (standard+ycc420 vs restart+device)
+    #   - lookahead: 1 unless the duplex probe measured enough overlap to
+    #     keep a second in-flight batch useful (r4: la=2 collapsed 20-36%
+    #     below la=1 on mostly-serialized links; overlap was 0-22%)
+    # Every image is encoded to complete JFIF bytes and re-decoded.
+    # (batch 32 was measured in round 4 and LOST, 5.35 vs 8.75 MP/s: the
+    # fill/drain share grows faster than the RTT share shrinks.)
     from jpezy_tpu.runtime import pipeline
 
-    for _ in pipeline.roundtrip_batches(iter(batches[:2]),
-                                        transport=transport):
+    use_ri = v_serial_ri >= v_serial
+    la = 2 if overlap >= 0.4 else 1
+    kw = (dict(transport="device", restart_interval=RI) if use_ri
+          else dict(transport=transport))
+    kw["lookahead"] = la
+    best_cfg = (f"{f'DRI={RI}+device' if use_ri else 'std'}, la={la} "
+                f"(probe-chosen: serial {'restart' if use_ri else 'std'} "
+                f"faster, overlap {overlap*100:.0f}%)")
+    log(f"pipeline config chosen by probes: {best_cfg}")
+    for _ in pipeline.roundtrip_batches(iter(batches[:2]), **kw):
         pass                                        # warm the pipeline path
-    # batch 32 was measured in round 4 and LOST (5.35 vs 8.75 MP/s at
-    # n=16 on the same link): with only 2 extra transfers amortized, the
-    # fill/drain share of the short run grows faster than the RTT share
-    # shrinks, and the 12 MiB single fetches hit tunnel burstiness.
-    v_pipelined = 0.0
-    best_cfg = None
+
+    def serial_now():
+        t0 = time.time()
+        if use_ri:
+            s_now = jax_codec.encode_batch(batches[0], restart_interval=RI)
+            jax_codec.decode_batch(s_now, transport="device")
+        else:
+            s_now = jax_codec.encode_batch(batches[0])
+            jax_codec.decode_batch(s_now, transport=transport)
+        return batch_n * mp / (time.time() - t0)
+
+    # same-weather serial: measured immediately before AND after the
+    # pipelined passes (r4 run 4 saw the link halve mid-run)
+    v_serial_before = serial_now()
     n_meas = 6
-    configs = [
-        ("std, la=1", dict(lookahead=1, transport=transport)),
-        (f"DRI={RI}+device, la=1",
-         dict(lookahead=1, transport="device", restart_interval=RI)),
-    ] + [(f"DRI={RI}+device, la=2",
-          dict(lookahead=2, transport="device", restart_interval=RI))] * 3
-    for rep, (name, kw) in enumerate(configs):
+    passes = []
+    for rep in range(4):
         t0 = time.time()
         got = 0
         for streams_p, pix in pipeline.roundtrip_batches(
@@ -440,35 +539,28 @@ def measure(platform: str) -> dict:
             assert pix.shape[1:] == (h, w, 3)
         t_pipe = time.time() - t0
         v = got * mp / t_pipe
-        log(f"round-trip (pipelined x{n_meas} batches, {name}, pass "
+        passes.append(v)
+        log(f"round-trip (pipelined x{n_meas} batches, {best_cfg}, pass "
             f"{rep}): {t_pipe*1000:.0f}ms total, {v:.2f} MP/s")
-        if v > v_pipelined:
-            v_pipelined, best_cfg = v, name
-    # the 1.5 B/px bound counts only the pixel planes; the winning config
-    # actually also moves the stream-word fetch (~0.8 MiB/batch) and the
-    # entropy upload (~0.25 MiB/batch) -- the fair serialized-link bound
-    # for THIS configuration:
+    v_serial_after = serial_now()
+    v_serial_now = (v_serial_before + v_serial_after) / 2
+    v_pipelined = float(np.median(passes))
+    # the 1.5 B/px bound counts only the pixel planes; the pipeline also
+    # moves the stream-word fetch (~0.8 MiB/batch) and the entropy upload
+    # (~0.25 MiB/batch) -- the fair serialized-link bound for THIS config:
     bytes_up = 1.5 * batch_n * mp * 1e6 + 0.25 * 2**20
     bytes_down = 1.5 * batch_n * mp * 1e6 + 0.8 * 2**20
     bound_actual = batch_n * mp / (bytes_up / up_bw + bytes_down / down_bw)
-    log(f"pipelined best: {v_pipelined:.2f} MP/s [{best_cfg}] = "
-        f"{v_pipelined/bound_proven*100:.0f}% of the measured-overlap "
-        f"bound ({v_pipelined/bound_serial*100:.0f}% of half-duplex, "
-        f"{v_pipelined/bound_actual*100:.0f}% of the actual-bytes "
-        f"serialized bound {bound_actual:.1f} MP/s); "
-        f"serial batched {v_serial:.2f}, restart-serial {v_serial_ri:.2f}")
-    # the tunnel's bandwidth can drift mid-run; re-measure the serial
-    # config CONTEMPORANEOUSLY with the pipelined passes so the
-    # pipelined-vs-serial comparison is same-weather (r4 run 4 saw the
-    # link halve between the serial section and the pipelined section)
-    t0 = time.time()
-    s_now = jax_codec.encode_batch(batches[0], restart_interval=RI)
-    jax_codec.decode_batch(s_now, transport="device")
-    v_serial_now = batch_n * mp / (time.time() - t0)
-    log(f"serial round-trip re-measured now (restart+device): "
-        f"{v_serial_now:.2f} MP/s; pipelined/serial same-weather ratio "
-        f"{v_pipelined/max(v_serial_now, 1e-9):.2f}x")
-    value = max(v_pipelined, v_serial, v_serial_ri)
+    log(f"pipelined median of {len(passes)} passes: {v_pipelined:.2f} MP/s "
+        f"[{best_cfg}] = {v_pipelined/bound_proven*100:.0f}% of the "
+        f"measured-overlap bound ({v_pipelined/bound_serial*100:.0f}% of "
+        f"half-duplex, {v_pipelined/bound_actual*100:.0f}% of the "
+        f"actual-bytes serialized bound {bound_actual:.1f} MP/s); "
+        f"pass range {min(passes):.2f}-{max(passes):.2f}; "
+        f"serial same-weather {v_serial_before:.2f}/{v_serial_after:.2f} "
+        f"(before/after) -> {v_serial_now:.2f}; "
+        f"min pass / serial = {min(passes)/max(v_serial_now,1e-9):.2f}x")
+    value = max(v_pipelined, v_serial_now)
 
     # quality gate (moved before the optional sections): streams must be
     # valid JPEGs of reference quality.  HARD assert (VERDICT r1): a silent
@@ -503,6 +595,7 @@ def measure(platform: str) -> dict:
         "psnr_fast_db": round(psnr_fast, 3),
         "psnr_exact_db": round(psnr_exact, 3),
         "decode_attribution": dec_attr,
+        "device_stage_attribution": stage_attr,
         "link_overlap_pct": round(overlap * 100, 1),
         "link_bound_halfduplex": round(bound_serial, 2),
         "link_bound_proven": round(bound_proven, 2),
@@ -511,6 +604,9 @@ def measure(platform: str) -> dict:
         "serial_sameweather": round(v_serial_now, 3),
         "pipelined_vs_serial_sameweather": round(
             v_pipelined / max(v_serial_now, 1e-9), 2),
+        "pipelined_passes": [round(p, 2) for p in passes],
+        "min_pass_vs_serial_sameweather": round(
+            min(passes) / max(v_serial_now, 1e-9), 2),
     }
     # the headline is now known: flush it so a timeout in the optional
     # sections below (4K compiles through a congested tunnel can take
@@ -582,6 +678,27 @@ def measure(platform: str) -> dict:
         t_ser = time.time() - t0
         log(f"entropy decode 2048x2048 restart-free: fast serial "
             f"{t_ser*1e3:.0f}ms")
+        # index-assisted two-pass (VERDICT r4 #7 / SURVEY 2.7 option b):
+        # pass-1 length-only scan cost, then the full two-pass e2e decode
+        t0 = time.time()
+        _nat.index_scan(pj, n_mcus, 8)
+        t_scan = time.time() - t0
+        jax_codec.decode(bstream, transport="indexed")     # compile
+        ts_i, ts_h = [], []
+        for _ in range(3):
+            t0 = time.time()
+            jax_codec.decode(bstream, transport="indexed")
+            ts_i.append(time.time() - t0)
+            t0 = time.time()
+            jax_codec.decode(bstream, transport="ycc420")
+            ts_h.append(time.time() - t0)
+        log(f"index-assisted decode 2048x2048 restart-free: pass-1 scan "
+            f"{t_scan*1e3:.0f}ms (vs {t_ser*1e3:.0f}ms full serial), e2e "
+            f"indexed {min(ts_i)*1e3:.0f}ms vs host-frontend "
+            f"{min(ts_h)*1e3:.0f}ms")
+        result["indexed_pass1_ms"] = round(t_scan * 1e3, 1)
+        result["indexed_e2e_ms"] = round(min(ts_i) * 1e3, 1)
+        result["hostfront_e2e_ms"] = round(min(ts_h) * 1e3, 1)
     except Exception as e:  # no native runtime: skip the host-side number
         log(f"entropy decode measurement skipped: {e}")
 

@@ -837,7 +837,8 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
 
 @functools.partial(jax.jit, static_argnames=(
     "N", "nseg", "ri", "geom", "level", "qtuple"))
-def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen, *, N, nseg,
+def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen,
+                               skip0=None, preds0=None, *, N, nseg,
                                ri, geom, level, qtuple):
     """FULL device decode for restart-interval 4:2:0 streams: raw destuffed
     entropy bytes in, packed native-resolution u8 YCC planes out.
@@ -858,7 +859,7 @@ def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen, *, N, nseg,
     from ..ops.entropy_decode import decode_segments
 
     blocks, bad = decode_segments(words, nblk, lut, tsel, rawlen,
-                                  max_blocks=ri * 6)
+                                  skip0, preds0, max_blocks=ri * 6)
     mcus_y, mcus_x = geom[0][0], geom[0][1]
     nmcu = mcus_y * mcus_x
     b6 = blocks.reshape(N, nseg * ri, 6, 64)[:, :nmcu]
@@ -929,6 +930,77 @@ def _device_luts(pjs, nseg: int):
             luts.append(build_decode_lut(pj.huff, pj.scan_components))
         tsel_img[i] = keys[k]
     return np.stack(luts), np.repeat(tsel_img, nseg)
+
+
+def _decode_batch_indexed_dispatch(pjs, p0, geos, mcus_x, mcus_y, level,
+                                   k_mcus: int = 8):
+    """Index-assisted two-pass decode of RESTART-FREE streams (SURVEY 2.7
+    option (b), the standard GPU-JPEG shape): a serial host LENGTH-ONLY
+    scan (C++ jz_index_scan) records every k_mcus MCUs the bit offset and
+    absolute DC predictors, then ALL pseudo-segments decode in parallel on
+    device via the same lockstep scan as the restart transport (per-lane
+    skip0 bit phase + preds0 injection).  The serial dependency of the
+    reference's hot loop (jpezy_decoder.hpp:583-642) collapses to the
+    cheap pass-1 walk; the upload is raw entropy bytes, like
+    transport='device'.
+    """
+    from ..ops.entropy_decode import device_lut
+    from ..runtime import native
+
+    native.get_lib()
+    if p0.restart_interval:
+        raise ValueError("transport='indexed' is for restart-FREE streams"
+                         " (restart streams use transport='device')")
+    N = len(pjs)
+    nmcu = mcus_x * mcus_y
+    nseg = -(-nmcu // k_mcus)
+
+    def _p1(pj):
+        return native.index_scan(pj, nmcu, k_mcus)
+
+    if N > 1:
+        import concurrent.futures as cf
+        import os as _os
+
+        with cf.ThreadPoolExecutor(min(N, _os.cpu_count() or 1)) as ex:
+            outs = list(ex.map(_p1, pjs))
+    else:
+        outs = [_p1(pjs[0])]
+
+    need = 0
+    for destuffed, bitoffs, _ in outs:
+        ends = np.append((bitoffs[1:] >> 3) + 8, len(destuffed))
+        need = max(need, int((ends - (bitoffs >> 3)).max()))
+    L = 64
+    while L < need + 8:
+        L *= 2
+    rows = np.zeros((N * nseg, L), np.uint8)
+    skip0 = np.zeros(N * nseg, np.int32)
+    preds0 = np.zeros((N * nseg, 3), np.int32)
+    for i, (destuffed, bitoffs, preds) in enumerate(outs):
+        native.copy_bit_windows(destuffed, bitoffs,
+                                rows[i * nseg: (i + 1) * nseg])
+        skip0[i * nseg: (i + 1) * nseg] = (bitoffs & 7)
+        preds0[i * nseg: (i + 1) * nseg] = preds
+    words = rows.view(">u4").astype("=u4")
+    nblk = np.tile(
+        (np.minimum(k_mcus, nmcu - np.arange(nseg) * k_mcus) * 6)
+        .astype(np.int32), N)
+    lut, tsel = _device_luts(pjs, nseg)
+    geom = tuple(
+        (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
+        for i, fc in enumerate(p0.frame_components)
+    )
+    qtuple = tuple(
+        tuple(int(x) for x in p0.quant[fc.Tq])
+        for fc in p0.frame_components
+    )
+    packed = _decode_fused_batch_device(
+        jnp.asarray(words), jnp.asarray(nblk), device_lut(lut),
+        jnp.asarray(tsel), None, jnp.asarray(skip0), jnp.asarray(preds0),
+        N=N, nseg=nseg, ri=k_mcus, geom=geom, level=level, qtuple=qtuple,
+    )
+    return ("device", packed, p0.props, N, mcus_x, mcus_y)
 
 
 def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
@@ -1048,6 +1120,15 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
     if auto:
         transport = "ycc420" if (precision == "fast" and std420 and not gray) \
             else "rgb"
+    if transport == "indexed":
+        # index-assisted two-pass decode of restart-free streams (opt-in;
+        # see _decode_batch_indexed_dispatch and DESIGN.md section 5c)
+        if not (std420 and not gray and precision == "fast"):
+            raise ValueError(
+                "transport='indexed' supports fast-precision standard "
+                "4:2:0 color streams only")
+        return _decode_batch_indexed_dispatch(
+            pjs, p0, geos, mcus_x, mcus_y, level)
     if transport == "device" or (auto and transport == "ycc420"
                                  and p0.restart_interval > 0):
         # restart streams auto-pick the full device decode (identical
@@ -1297,13 +1378,15 @@ def decode(data: bytes, *, gray: bool = False, precision: str = "fast",
                                  and not gray) else "rgb"
         if transport == "ycc420" and pj.restart_interval > 0:
             transport = "device"   # identical pixels, ~7x less upload
-    if transport in ("ycc420", "device") and std420 and not gray:
+    if transport in ("ycc420", "device", "indexed") and std420 and not gray:
         try:
             with phase("entropy frontend + sparse upload (dispatch)..."):
                 try:
-                    dispatch = (_decode_batch_device_dispatch
-                                if transport == "device"
-                                else _decode_batch_ycc420_dispatch)
+                    dispatch = {
+                        "device": _decode_batch_device_dispatch,
+                        "indexed": _decode_batch_indexed_dispatch,
+                        "ycc420": _decode_batch_ycc420_dispatch,
+                    }[transport]
                     ticket = dispatch([pj], pj, geos, mcus_x, mcus_y, level)
                 except (ImportError, ValueError):
                     if not auto or transport != "device":

@@ -120,6 +120,19 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(c_i16p), ctypes.c_int,
         ]
+        lib.jz_index_scan.restype = ctypes.c_int64
+        lib.jz_index_scan.argtypes = [
+            c_u8p, ctypes.c_long,
+            ctypes.POINTER(c_i32p), ctypes.POINTER(c_i32p),
+            ctypes.c_int, c_i32p, c_i32p,
+            ctypes.c_int64, ctypes.c_int64,
+            c_i64p, c_i32p,
+        ]
+        lib.jz_copy_bit_windows.restype = ctypes.c_long
+        lib.jz_copy_bit_windows.argtypes = [
+            c_u8p, ctypes.c_long, c_i64p, ctypes.c_long,
+            c_u8p, ctypes.c_long,
+        ]
         c_dp = ctypes.POINTER(ctypes.c_double)
         lib.jz_fdct_quant.restype = None
         lib.jz_fdct_quant.argtypes = [
@@ -363,6 +376,59 @@ def ycc420_to_rgb_batch(ys: np.ndarray, cbs: np.ndarray, crs: np.ndarray,
     lib.jz_ycc420_to_rgb_batch(
         _u8p(ys), _u8p(cbs), _u8p(crs), N, H, W, _u8p(out), nthreads)
     return out
+
+
+def index_scan(pj, n_mcus: int, k_mcus: int):
+    """Pass 1 of the index-assisted restart-free parallel decode: destuff,
+    then a serial LENGTH-ONLY scan recording every k_mcus MCUs the bit
+    offset + absolute DC predictors (SURVEY 2.7 option (b)).
+
+    Returns (destuffed [n+8] u8 zero-padded, bitoffs [nseg] i64,
+    preds [nseg, 3] i32)."""
+    lib = get_lib()
+    dc_luts = [_huff_lut(pj.huff[0][sc.Td]) for sc in pj.scan_components]
+    ac_luts = [_huff_lut(pj.huff[1][sc.Ta]) for sc in pj.scan_components]
+    ncomp = len(pj.scan_components)
+    comp_h = np.array([fc.H for fc in pj.frame_components], np.int32)
+    comp_v = np.array([fc.V for fc in pj.frame_components], np.int32)
+    data = np.ascontiguousarray(
+        np.frombuffer(pj.data, np.uint8)[pj.entropy_start:])
+    destuffed = np.zeros(len(data) + 8, np.uint8)
+    consumed = ctypes.c_long(0)
+    nd = lib.jz_destuff(_u8p(data), len(data), _u8p(destuffed),
+                        ctypes.byref(consumed))
+    nseg = -(-n_mcus // k_mcus)
+    bitoffs = np.zeros(nseg, np.int64)
+    preds = np.zeros((nseg, 3), np.int32)
+    P = ctypes.POINTER(ctypes.c_int32)
+    dc_arr = (P * ncomp)(*[_i32p(a) for a in dc_luts])
+    ac_arr = (P * ncomp)(*[_i32p(a) for a in ac_luts])
+    rc = lib.jz_index_scan(
+        _u8p(destuffed), int(nd), dc_arr, ac_arr,
+        ncomp, _i32p(comp_h), _i32p(comp_v),
+        n_mcus, k_mcus,
+        bitoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(preds))
+    if rc != nseg:
+        raise ValueError(f"index scan failed: rc={rc}")
+    return destuffed[: int(nd) + 8], bitoffs, preds
+
+
+def copy_bit_windows(destuffed: np.ndarray, bitoffs: np.ndarray,
+                     out_rows: np.ndarray) -> int:
+    """Pass-2 prep: copy each pseudo-segment's byte window into
+    zero-padded rows of out_rows [nseg, L] (caller-zeroed)."""
+    lib = get_lib()
+    destuffed = np.ascontiguousarray(destuffed, np.uint8)
+    bitoffs = np.ascontiguousarray(bitoffs, np.int64)
+    nseg, L = out_rows.shape
+    rc = lib.jz_copy_bit_windows(
+        _u8p(destuffed), len(destuffed),
+        bitoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nseg,
+        _u8p(out_rows), L)
+    if rc < 0:
+        raise ValueError(f"window {-rc - 1} overflowed the row stride {L}")
+    return int(rc)
 
 
 def fdct_quant(pic: np.ndarray, c1: np.ndarray, c2: np.ndarray,

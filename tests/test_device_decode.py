@@ -275,6 +275,65 @@ class TestCorruptionDetection:
         assert detected >= 10, (detected, survived)   # 15 on this corpus
 
 
+class TestIndexedTransport:
+    """Index-assisted two-pass decode of restart-FREE streams (SURVEY 2.7
+    option (b); DESIGN.md section 5c): serial length-only index scan +
+    parallel device re-decode with skip0/preds0 injection."""
+
+    @pytest.mark.parametrize("hw,seed", [
+        ((64, 64), 1), ((48, 80), 2), ((128, 96), 3),
+    ])
+    def test_bitexact_vs_host_frontend(self, hw, seed):
+        from imagegen import make_test_image
+
+        img = make_test_image(*hw, seed=seed)
+        data = jax_codec.encode(*split(img))       # NO restart markers
+        a = np.stack(jax_codec.decode(data, transport="indexed")[:3])
+        b = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(a, b)
+
+    def test_noise_stream(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        data = jax_codec.encode(*split(img))
+        a = np.stack(jax_codec.decode(data, transport="indexed")[:3])
+        b = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(a, b)
+
+    def test_foreign_restart_free_stream(self):
+        """The reference's own output shape: a libjpeg stream with NO
+        restart markers and optimized tables."""
+        import io
+
+        Image = pytest.importorskip("PIL.Image")
+        from imagegen import make_test_image
+
+        img = make_test_image(64, 80, seed=6)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85, subsampling=2,
+                                  optimize=True)
+        data = buf.getvalue()
+        assert b"\xff\xdd" not in data
+        a = np.stack(jax_codec.decode(data, transport="indexed")[:3])
+        b = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
+        assert np.array_equal(a, b)
+
+    def test_batch(self):
+        from imagegen import make_test_image
+
+        batch = np.stack([make_test_image(64, 64, seed=7 + i)
+                          for i in range(3)])
+        streams = jax_codec.encode_batch(batch)
+        a, _ = jax_codec.decode_batch(streams, transport="indexed")
+        b, _ = jax_codec.decode_batch(streams, transport="ycc420")
+        assert np.array_equal(a, b)
+
+    def test_rejects_restart_streams(self, small_rgb):
+        data = jax_codec.encode(*split(small_rgb), restart_interval=2)
+        with pytest.raises(ValueError):
+            jax_codec.decode(data, transport="indexed")
+
+
 class TestAutoPick:
     def test_restart_streams_default_to_device(self, small_rgb, monkeypatch):
         """transport=None on restart streams routes to the device decoder
