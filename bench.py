@@ -338,8 +338,8 @@ def measure(platform: str) -> dict:
     tsel_dev = jax.block_until_ready(
         jnp.zeros(words_h.shape[0], jnp.int32))
     t_up_ri = time.time() - t0
-    from jpezy_tpu.ops.entropy_decode import build_decode_lut, device_lut
-    lut_dev = device_lut(build_decode_lut(pjs_ri[0].huff))
+    from jpezy_tpu.ops.entropy_decode import build_scan_tables, device_lut
+    lut_dev = device_lut(build_scan_tables(pjs_ri[0].huff))
     run_ri = lambda: _decode_fused_batch_device(
         words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev,
         N=batch_n, nseg=nseg, ri=RI, geom=geom, level=128, qtuple=qtuple)

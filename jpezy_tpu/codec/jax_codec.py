@@ -918,8 +918,12 @@ def _device_luts(pjs, nseg: int):
     restart streams and our own optimize=True output carry arbitrary DHT
     tables; the reference decodes any assignment,
     jpezy_decoder.hpp:190-256)."""
-    from ..ops.entropy_decode import build_decode_lut, lut_content_key
+    from ..ops.entropy_decode import (build_decode_chain_tables,
+                                      build_decode_lut, lut_content_key,
+                                      scan_mode)
 
+    build = (build_decode_chain_tables if scan_mode() == "chain"
+             else build_decode_lut)
     keys: dict[bytes, int] = {}
     luts = []
     tsel_img = np.empty(len(pjs), np.int32)
@@ -927,7 +931,7 @@ def _device_luts(pjs, nseg: int):
         k = lut_content_key(pj.huff, pj.scan_components)
         if k not in keys:
             keys[k] = len(luts)
-            luts.append(build_decode_lut(pj.huff, pj.scan_components))
+            luts.append(build(pj.huff, pj.scan_components))
         tsel_img[i] = keys[k]
     return np.stack(luts), np.repeat(tsel_img, nseg)
 

@@ -285,8 +285,9 @@ def concat_device_restart(words, bits, maxw: int, seg_blocks: int,
 # content runs ~13 bits/block (max ~45), even noise maxes out near 200 --
 # so the window is trimmed to the narrowest column tier that provably
 # covers max(bits) + the 31-bit phase, picked at RUNTIME by lax.cond
-# (the untaken branches never execute).
-_SCATTER_TIERS = (4, 12)  # columns; tier C is valid when bits <= 32*C - 31
+# (the untaken branches never execute).  The bench corpus maxes at 45
+# bits/block -> tier 3; smooth content reaches tier 2.
+_SCATTER_TIERS = (2, 3, 4, 12)  # columns; tier C valid when bits <= 32*C-31
 
 
 def _scatter_tiered(scat, contrib, bits, ncols: int):

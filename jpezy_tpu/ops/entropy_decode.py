@@ -94,6 +94,69 @@ def build_decode_lut(huff, scan_components=None) -> np.ndarray:
     return np.stack(rows)
 
 
+CHAIN_COLS = 3 * 17 + 162   # packed canonical-table row width (see below)
+
+
+def build_decode_chain_tables(huff, scan_components=None) -> np.ndarray:
+    """[6, CHAIN_COLS] int32 canonical decode tables for the gather-free
+    'chain' scan mode (see decode_segments).
+
+    Row r (comp c's DC at 2c, AC at 2c+1) packs, per code length
+    l in 0..16: first[l] (cols 0..16), count[l] (17..33), offset[l]
+    (34..50), then the HUFFVAL list in canonical order (51..212, padded
+    with 0).  first/count/offset are the classic canonical-Huffman decode
+    triple: a 16-bit window's code of length l is win >> (16-l); it
+    matches length l iff first[l] <= code < first[l]+count[l], and its
+    symbol is values[offset[l] + code - first[l]].
+    """
+    tdta = (_STD_TDTA if scan_components is None
+            else [(sc.Td, sc.Ta) for sc in scan_components])
+    if len(tdta) != 3:
+        raise ValueError("device decode tables need 3 scan components")
+    rows = []
+    for td, ta in tdta:
+        for cls, tid in ((0, td), (1, ta)):
+            t = huff[cls][tid]
+            row = np.zeros(CHAIN_COLS, np.int32)
+            sizes = np.asarray(t.sizes, np.int32)
+            codes = np.asarray(t.codes, np.int32)
+            vals = np.asarray(t.values, np.int32)
+            if len(vals) > 162:
+                raise ValueError("more than 162 Huffman symbols")
+            for L in range(1, 17):
+                m = sizes == L
+                row[17 + L] = int(m.sum())              # count
+                if m.any():
+                    row[L] = int(codes[m][0])           # first
+                    row[34 + L] = int(np.nonzero(m)[0][0])  # offset
+            row[51: 51 + len(vals)] = vals
+            rows.append(row)
+    return np.stack(rows)
+
+
+def scan_mode() -> str:
+    """'chain' (gather-free canonical compare-chain symbol decode) or
+    'lut' (65536-entry window-LUT gather).  JPEZY_SCAN overrides; default
+    is chain on TPU (r5probe: the latency-bound per-lane gather loses to
+    the throughput-bound select chains there, 14.1 -> 10.8 ms/batch) and
+    lut on CPU (where the chain's 180 extra selects/symbol cost ~9x)."""
+    import os
+
+    m = os.environ.get("JPEZY_SCAN")
+    if m in ("chain", "lut"):
+        return m
+    import jax
+
+    return "chain" if jax.default_backend() == "tpu" else "lut"
+
+
+def build_scan_tables(huff, scan_components=None) -> np.ndarray:
+    """The scan_mode()-appropriate decode tables for decode_segments."""
+    if scan_mode() == "chain":
+        return build_decode_chain_tables(huff, scan_components)
+    return build_decode_lut(huff, scan_components)
+
+
 def lut_content_key(huff, scan_components=None) -> bytes:
     """Content hash of the table set a stream resolves to -- the dedup key
     for batching streams with mixed DHT tables."""
@@ -126,9 +189,28 @@ def device_lut(lut: np.ndarray) -> jax.Array:
     return _device_lut(hashlib.sha1(b).hexdigest(), b, lut.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("max_blocks",))
+def sym_unroll() -> int:
+    """Symbols decoded per while-loop iteration (JPEZY_SCAN_UNROLL).
+
+    Each unrolled symbol is fully masked for lanes that finished their
+    block, so semantics are unroll-invariant.  Measured on the v5e
+    (r5probe2): unrolling does NOT pay -- 1/2/3/4 -> 10.97/11.14/11.30/
+    11.49 ms for the batch-16 scan, i.e. the while_loop's per-iteration
+    overhead is negligible and the cost is the per-symbol work itself
+    (refill gather foremost).  Default 1; the knob is kept for probes."""
+    import os
+
+    try:
+        u = int(os.environ.get("JPEZY_SCAN_UNROLL", "1"))
+    except ValueError:
+        u = 1
+    return max(1, min(u, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("max_blocks", "unroll"))
 def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
-                    skip0=None, preds0=None, *, max_blocks: int):
+                    skip0=None, preds0=None, *, max_blocks: int,
+                    unroll: int | None = None):
     """Lockstep-decode S restart segments -> dense coefficient blocks.
 
     words: [S, Lw] uint32, big-endian-packed DESTUFFED segment bytes,
@@ -153,13 +235,60 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
     """
     if lut.ndim == 2:
         lut = lut[None]
+    chain = lut.shape[-1] == CHAIN_COLS
     S, Lw = words.shape
-    lutf = lut.reshape(-1)
     iota64 = jnp.arange(64, dtype=jnp.int32)
     zero_s = jnp.zeros((S,), jnp.int32)
     zero_u = jnp.zeros((S,), jnp.uint32)
     base6 = (jnp.zeros((S,), jnp.int32) if tsel is None
              else tsel.astype(jnp.int32) * 6)
+    if chain:
+        # gather-free symbol decode: per-lane canonical tables resident as
+        # [S, 6, CHAIN_COLS] (a bulk slice-take, not a per-element gather)
+        if tsel is None or lut.shape[0] == 1:
+            lane_tabs = jnp.broadcast_to(lut[0][None], (S,) + lut.shape[1:])
+        else:
+            lane_tabs = jnp.take(lut, tsel.astype(jnp.int32), axis=0)
+    else:
+        lutf = lut.reshape(-1)
+
+    def sym_lut(win16, is_dc, row, _tab_c):
+        """One combined-LUT gather: (HUFFVAL<<8)|len from the 16-bit
+        window (~9 ns/lane on the v5e -- the per-element gather rate)."""
+        sel = row + (~is_dc).astype(jnp.int32)
+        e = lutf[sel * 65536 + win16]
+        badsym = e < 0
+        ln = jnp.where(badsym, 8, e & 0xFF)
+        val = jnp.where(badsym, 0, e >> 8)
+        return ln, val, badsym
+
+    def sym_chain(win16, is_dc, _row, tab_c):
+        """Gather-free canonical decode: 16-step first/count compare chain
+        for the code length, then a 162-way select chain for the HUFFVAL.
+        ~500 VPU ops/lane instead of one serialized gather -- on a TPU the
+        throughput-bound chain beats the latency-bound gather by ~an order
+        of magnitude at these lane counts (cf. ops.entropy._lookup_chain).
+        tab_c: [S, 2, CHAIN_COLS] this component's DC/AC rows."""
+        symlen = jnp.zeros_like(win16)
+        rank = jnp.zeros_like(win16)
+        for L in range(1, 17):
+            fl = jnp.where(is_dc, tab_c[:, 0, L], tab_c[:, 1, L])
+            cl = jnp.where(is_dc, tab_c[:, 0, 17 + L], tab_c[:, 1, 17 + L])
+            ol = jnp.where(is_dc, tab_c[:, 0, 34 + L], tab_c[:, 1, 34 + L])
+            code = win16 >> (16 - L)
+            ok = (symlen == 0) & (code >= fl) & (code - fl < cl)
+            symlen = jnp.where(ok, L, symlen)
+            rank = jnp.where(ok, ol + code - fl, rank)
+        vals = jnp.where(is_dc[:, None], tab_c[:, 0, 51:], tab_c[:, 1, 51:])
+        hv = jnp.zeros_like(rank)
+        for t in range(162):
+            hv = jnp.where(rank == t, vals[:, t], hv)
+        badsym = symlen == 0
+        ln = jnp.where(badsym, 8, symlen)
+        val = jnp.where(badsym, 0, hv)
+        return ln, val, badsym
+
+    sym_fn = sym_chain if chain else sym_lut
 
     # Bit cursor = a per-lane 64-bit window register (hi, lo uint32 pair):
     # `navail` valid bits at the TOP, zeros below, next stream bit = MSB of
@@ -187,20 +316,24 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
         return (jnp.where(take, hi2, hi), jnp.where(take, lo2, lo),
                 jnp.where(take, navail - k, navail))
 
+    nun = sym_unroll() if unroll is None else unroll
+
     def block_body(carry):
-        hi, lo, navail, widx, kk, blk, pred, done, row, bad = carry
+        for _ in range(nun):       # unrolled symbols, each fully masked
+            carry = _sym_step(carry)
+        return carry
+
+    def _sym_step(carry):
+        hi, lo, navail, widx, kk, blk, pred, done, row, tab_c, bad = carry
         active = ~done
         hi, lo, navail, widx = refill(hi, lo, navail, widx, active)
         win = hi
         is_dc = kk == 0
-        sel = row + (~is_dc).astype(jnp.int32)
-        e = lutf[sel * 65536 + (win >> 16).astype(jnp.int32)]
         # invalid windows only occur on corrupt streams; treat as an 8-bit
         # skip so the loop still terminates, and FLAG the lane (the
         # reference propagates a negative return, jpezy_decoder.hpp:593)
-        badsym = e < 0
-        ln = jnp.where(badsym, 8, e & 0xFF)
-        val = jnp.where(badsym, 0, e >> 8)
+        ln, val, badsym = sym_fn((win >> 16).astype(jnp.int32), is_dc,
+                                 row, tab_c)
         run = val >> 4
         s_ = val & 15
         ncat = jnp.where(is_dc, val, s_)          # extra (category) bits
@@ -237,7 +370,7 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
         # kk > 63 ends the block; the word-index bound makes corrupt input
         # (invalid windows never advancing kk) terminate instead of hanging
         done = done | (active & (is_eob | (kk > 63))) | (widx > Lw)
-        return hi, lo, navail, widx, kk, blk, pred, done, row, bad
+        return hi, lo, navail, widx, kk, blk, pred, done, row, tab_c, bad
 
     def outer(carry, b):
         hi, lo, navail, widx, preds, bad = carry   # preds [S, 3]
@@ -246,11 +379,18 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
         pred0 = jnp.take_along_axis(
             preds, jnp.full((S, 1), comp, jnp.int32), axis=1)[:, 0]
         row = base6 + comp * 2                     # lane's DC row in lutf
+        if chain:                                  # [S, 2, C]: comp's rows
+            tab_c = jax.lax.dynamic_slice_in_dim(
+                lane_tabs, comp * 2, 2, axis=1)
+        else:
+            tab_c = jnp.zeros((), jnp.int32)       # unused placeholder
         done0 = b >= nblk
         init = (hi, lo, navail, widx, zero_s,
-                jnp.zeros((S, 64), jnp.int32), pred0, done0, row, bad)
-        hi, lo, navail, widx, _, blk, pred, _, _, bad = jax.lax.while_loop(
-            lambda c: jnp.any(~c[7]), block_body, init)
+                jnp.zeros((S, 64), jnp.int32), pred0, done0, row, tab_c,
+                bad)
+        hi, lo, navail, widx, _, blk, pred, _, _, _, bad = \
+            jax.lax.while_loop(
+                lambda c: jnp.any(~c[7]), block_body, init)
         col = jnp.arange(3, dtype=jnp.int32)[None, :]
         preds = jnp.where(col == comp, pred[:, None], preds)
         return (hi, lo, navail, widx, preds, bad), blk.astype(jnp.int16)

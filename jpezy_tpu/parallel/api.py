@@ -96,7 +96,7 @@ def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
     ValueError when the stream or mesh shape is ineligible (caller falls
     back to the host-frontend path)."""
     from ..codec.jax_codec import _device_host_frontend
-    from ..ops.entropy_decode import build_decode_lut, device_lut
+    from ..ops.entropy_decode import build_scan_tables, device_lut
 
     std420 = (
         len(p0.frame_components) == 3
@@ -145,7 +145,7 @@ def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
             mesh, words.reshape(N, nseg, Lw), P("data", "tile", None))
         nblk_d = make_global_from_local(
             mesh, nblk.reshape(N, nseg), P("data", "tile"))
-        lut_d = replicate_global(mesh, build_decode_lut(p0.huff))
+        lut_d = replicate_global(mesh, build_scan_tables(p0.huff))
         out = gather_local_rows(fn(words_d, nblk_d, lut_d), N)
         return out[:, :p0.props.height, :p0.props.width]
     spec3 = jax.sharding.NamedSharding(
@@ -155,7 +155,7 @@ def _decode_sharded_device(mesh: Mesh, pjs, p0, mcus_x, mcus_y, level):
     words_d = jax.device_put(words.reshape(N, nseg, Lw), spec3)
     nblk_d = jax.device_put(nblk.reshape(N, nseg), spec2)
     out = np.asarray(fn(words_d, nblk_d,
-                        device_lut(build_decode_lut(p0.huff))))
+                        device_lut(build_scan_tables(p0.huff))))
     return out[:, :p0.props.height, :p0.props.width]
 
 

@@ -265,3 +265,25 @@ class TestCustomProps:
         r, g, b, got = jax_codec.decode(data)
         assert got.comment == "custom comment here"
         assert (got.width, got.height) == (w, h)
+
+
+class TestRecipQuantizeExact:
+    """The division-free quantize (ops/quantize._trunc_div_recip) must be
+    bit-exact vs C truncating division over the ENTIRE reachable domain:
+    |coeff| < 2^15 (DCT output bound is ~2048; 2a+q in rounded mode stays
+    < 2^13), divisor 1..510 (8-bit DQT entries, doubled in rounded mode)."""
+
+    def test_exhaustive_all_divisors(self):
+        import jax.numpy as jnp
+
+        from jpezy_tpu.ops import quantize as Q
+
+        a = np.arange(0, 1 << 15, dtype=np.int32)
+        aj = jnp.asarray(a)
+        import jax
+
+        fn = jax.jit(Q._trunc_div_recip)
+        for q in range(1, 511):
+            got = np.asarray(fn(aj, jnp.full((), q, jnp.int32)))
+            want = a // q
+            assert np.array_equal(got, want), f"divisor {q}"
