@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC (see runtime/native.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -1077,6 +1078,50 @@ int64_t jz_entropy_encode(
     bw.pad1();
     if (bw.overflow) return -1;
     return bw.o;
+}
+
+// Reference-exact color tail on FULL-RESOLUTION int32 planes (the host
+// codec's decode path): double math in the oracle's exact expression
+// order, truncation toward zero, clamp AFTER color conversion
+// (jpezy_decoder.hpp:567-578, 672-676).  Bit-identical to
+// codec/oracle.ycc_to_rgb (requires -ffp-contract=off).
+void jz_ycc_to_rgb_i32(const int32_t* y, const int32_t* cb,
+                       const int32_t* cr, long H, long W, uint8_t* out,
+                       int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 4;
+    }
+    auto clamp8 = [](double v) -> uint8_t {
+        double t = std::trunc(v);
+        return t < 0.0 ? 0 : t > 255.0 ? 255 : (uint8_t)t;
+    };
+    auto work = [&](long r0, long r1) {
+        for (long r = r0; r < r1; ++r) {
+            const int32_t* yr = y + r * W;
+            const int32_t* ur = cb + r * W;
+            const int32_t* vr = cr + r * W;
+            uint8_t* o = out + r * W * 3;
+            for (long c = 0; c < W; ++c) {
+                double yf = (double)yr[c];
+                double uf = (double)ur[c];
+                double vf = (double)vr[c];
+                o[3 * c]     = clamp8(yf + (vf - 128.0) * 1.4020);
+                o[3 * c + 1] = clamp8(yf - (uf - 128.0) * 0.3441
+                                         - (vf - 128.0) * 0.7139);
+                o[3 * c + 2] = clamp8(yf + (uf - 128.0) * 1.7718);
+            }
+        }
+    };
+    if (nthreads == 1 || H < 64) { work(0, H); return; }
+    long per = (H + nthreads - 1) / nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        long r0 = (long)t * per, r1 = r0 + per < H ? r0 + per : H;
+        if (r0 >= r1) break;
+        threads.emplace_back(work, r0, r1);
+    }
+    for (auto& th : threads) th.join();
 }
 
 void jz_ycc420_to_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,

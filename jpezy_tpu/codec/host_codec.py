@@ -179,6 +179,12 @@ def decode(data: bytes, *, gray: bool = False, verbose: bool = False
             gval = np.clip(np.trunc(ymat.astype(np.float64)), 0,
                            255).astype(np.uint8)
             return gval, gval.copy(), gval.copy(), props
-        r, g, b = oracle.ycc_to_rgb(ymat, planes[1][:H, :W],
-                                    planes[2][:H, :W])
+        # C++ color tail: bit-identical to oracle.ycc_to_rgb and ~10x
+        # faster (the numpy float64 tail was 0.64 s of a 0.75 s 1 MP CLI
+        # decode)
+        rgb = native.ycc_to_rgb_i32(
+            np.ascontiguousarray(ymat),
+            np.ascontiguousarray(planes[1][:H, :W]),
+            np.ascontiguousarray(planes[2][:H, :W]))
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     return r, g, b, props

@@ -318,13 +318,11 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
 
     nun = sym_unroll() if unroll is None else unroll
 
-    def block_body(carry):
-        for _ in range(nun):       # unrolled symbols, each fully masked
-            carry = _sym_step(carry)
-        return carry
-
-    def _sym_step(carry):
-        hi, lo, navail, widx, kk, blk, pred, done, row, tab_c, bad = carry
+    def _sym_step(carry, row, tab_c):
+        # row/tab_c are loop-INVARIANT: closed over per outer step, never
+        # carried (a carried [S, 2, 213] table would be copied every
+        # while-loop iteration)
+        hi, lo, navail, widx, kk, blk, pred, done, bad = carry
         active = ~done
         hi, lo, navail, widx = refill(hi, lo, navail, widx, active)
         win = hi
@@ -370,7 +368,7 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
         # kk > 63 ends the block; the word-index bound makes corrupt input
         # (invalid windows never advancing kk) terminate instead of hanging
         done = done | (active & (is_eob | (kk > 63))) | (widx > Lw)
-        return hi, lo, navail, widx, kk, blk, pred, done, row, tab_c, bad
+        return hi, lo, navail, widx, kk, blk, pred, done, bad
 
     def outer(carry, b):
         hi, lo, navail, widx, preds, bad = carry   # preds [S, 3]
@@ -383,12 +381,17 @@ def decode_segments(words, nblk, lut, tsel=None, rawlen=None,
             tab_c = jax.lax.dynamic_slice_in_dim(
                 lane_tabs, comp * 2, 2, axis=1)
         else:
-            tab_c = jnp.zeros((), jnp.int32)       # unused placeholder
+            tab_c = None
+
+        def block_body(c):
+            for _ in range(nun):   # unrolled symbols, each fully masked
+                c = _sym_step(c, row, tab_c)
+            return c
+
         done0 = b >= nblk
         init = (hi, lo, navail, widx, zero_s,
-                jnp.zeros((S, 64), jnp.int32), pred0, done0, row, tab_c,
-                bad)
-        hi, lo, navail, widx, _, blk, pred, _, _, _, bad = \
+                jnp.zeros((S, 64), jnp.int32), pred0, done0, bad)
+        hi, lo, navail, widx, _, blk, pred, _, bad = \
             jax.lax.while_loop(
                 lambda c: jnp.any(~c[7]), block_body, init)
         col = jnp.arange(3, dtype=jnp.int32)[None, :]

@@ -96,6 +96,11 @@ def get_lib() -> ctypes.CDLL:
         lib.jz_ycc420_to_rgb.argtypes = [
             c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, c_u8p,
         ]
+        lib.jz_ycc_to_rgb_i32.restype = None
+        lib.jz_ycc_to_rgb_i32.argtypes = [
+            c_i32p, c_i32p, c_i32p, ctypes.c_long, ctypes.c_long, c_u8p,
+            ctypes.c_int,
+        ]
         lib.jz_ycc420_to_rgb_batch.restype = None
         lib.jz_ycc420_to_rgb_batch.argtypes = [
             c_u8p, c_u8p, c_u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -360,6 +365,22 @@ def ycc420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     cr = np.ascontiguousarray(cr, dtype=np.uint8)
     out = np.empty((H, W, 3), dtype=np.uint8)
     lib.jz_ycc420_to_rgb(_u8p(y), _u8p(cb), _u8p(cr), H, W, _u8p(out))
+    return out
+
+
+def ycc_to_rgb_i32(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   nthreads: int = 0) -> np.ndarray:
+    """Full-resolution int32 planes -> [H, W, 3] u8 RGB, the reference's
+    exact double-precision tail (clamp AFTER color; bit-identical to
+    codec/oracle.ycc_to_rgb)."""
+    lib = get_lib()
+    H, W = y.shape
+    y = np.ascontiguousarray(y, np.int32)
+    cb = np.ascontiguousarray(cb, np.int32)
+    cr = np.ascontiguousarray(cr, np.int32)
+    out = np.empty((H, W, 3), np.uint8)
+    lib.jz_ycc_to_rgb_i32(_i32p(y), _i32p(cb), _i32p(cr), H, W,
+                          _u8p(out), nthreads)
     return out
 
 
