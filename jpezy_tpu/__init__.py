@@ -11,7 +11,9 @@ Public API (the reference's library embedding analog, README.md:158-175):
     jpeg_bytes = encode(r, g, b)                  # planes [H, W] uint8
     r, g, b, props = decode(jpeg_bytes)
 
-See jpezy_tpu.codec.jax_codec for precision/rounded/restart options,
+encode_host/decode_host run the complete host C++ codec (small one-shot
+images; byte-identical).  See jpezy_tpu.codec.jax_codec for
+precision/rounded/restart/transport options,
 jpezy_tpu.parallel for the mesh-sharded pipelines, and jpezy_tpu.cli for the
 command-line front-end.
 """
@@ -46,5 +48,20 @@ def decode_batch(*args, **kwargs):
 
 def encode_mixed(*args, **kwargs):
     from .runtime.batch import encode_mixed as _f
+
+    return _f(*args, **kwargs)
+
+
+def encode_host(*args, **kwargs):
+    """Complete host C++ codec path (no accelerator, no XLA): byte-identical
+    streams, ~25 ms for a 512x512 round trip.  The CLI auto-picks this
+    below 8 MP; see codec/host_codec.py."""
+    from .codec.host_codec import encode as _f
+
+    return _f(*args, **kwargs)
+
+
+def decode_host(*args, **kwargs):
+    from .codec.host_codec import decode as _f
 
     return _f(*args, **kwargs)

@@ -127,3 +127,29 @@ class TestPpmMagicScan:
 
         with pytest.raises(ppm.PpmFormatError):
             ppm.parse(b"P9\n1 1\n255\n1 2 3\n")
+
+
+class TestHostNoiseAndFacade:
+    def test_noise_roundtrip_byte_identical(self):
+        """Dense noise maxes out coefficient magnitudes, code lengths and
+        the bit writer's stuffing paths."""
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (96, 96, 3), np.uint8)
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        assert host_codec.encode(r, g, b) == oracle.encode(r, g, b)
+        data = host_codec.encode(r, g, b, restart_interval=2)
+        assert data == oracle.encode(r, g, b, restart_interval=2)
+        got = host_codec.decode(data)
+        want = oracle.decode(data)
+        for a, bb in zip(got[:3], want[:3]):
+            np.testing.assert_array_equal(a, bb)
+
+    def test_facade(self):
+        import jpezy_tpu
+
+        img = make_test_image(48, 48, seed=3)
+        d = jpezy_tpu.encode_host(img[..., 0], img[..., 1], img[..., 2])
+        assert d == oracle.encode(img[..., 0], img[..., 1], img[..., 2])
+        r, g, b, _ = jpezy_tpu.decode_host(d)
+        ro, go, bo, _ = oracle.decode(d)
+        np.testing.assert_array_equal(r, ro)
