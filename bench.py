@@ -168,8 +168,12 @@ def measure(platform: str) -> dict:
     # one feeds the pipelined round-trip below.
     streams = jax_codec.encode_batch(batches[0])   # compile
     t_tr = {}
-    for tr in ("ycc420", "rgb"):
-        jax_codec.decode_batch(streams, transport=tr)   # compile
+    for tr in ("ycc420", "indexed", "rgb"):
+        try:
+            jax_codec.decode_batch(streams, transport=tr)   # compile
+        except (ImportError, ValueError) as e:
+            log(f"batched decode [{tr}] unavailable: {e}")
+            continue
         ts = []
         for trial in range(3):
             t0 = time.time()
@@ -179,7 +183,7 @@ def measure(platform: str) -> dict:
         log(f"batched decode x{batch_n} [{tr}]: {t_tr[tr]*1000:.0f}ms "
             f"({batch_n*mp/t_tr[tr]:.1f} MP/s)")
     transport = min(t_tr, key=t_tr.get)
-    log(f"decode transport auto-pick: {transport}")
+    log(f"decode transport measured-pick: {transport}")
     t_enc = []
     for trial in range(3):
         imgs = batches[trial % 2]
@@ -616,6 +620,8 @@ def measure(platform: str) -> dict:
         "decode_transport": transport,
         "decode_ms_ycc420": round(t_tr["ycc420"] * 1e3, 1),
         "decode_ms_rgb": round(t_tr["rgb"] * 1e3, 1),
+        "decode_ms_indexed": (round(t_tr["indexed"] * 1e3, 1)
+                              if "indexed" in t_tr else None),
         "decode_ms_device": round(t_ri["device"] * 1e3, 1),
         "single_roundtrip_ms": round(t_single_rt * 1e3, 1),
         "single_roundtrip_device_ms": round(t_single_dev * 1e3, 1),
