@@ -453,17 +453,23 @@ def _encode_batch_custom(yq, cbq, crq, ytables, ctables, *,
             lambda qq, pp, *tt: E.block_emissions(qq, pp, chroma, tables=tt)
         )(q, pred, *tabs)
         ems.append((hi, lo, nb))
-    hi, lo, nb = (
-        jnp.concatenate(
-            [ems[0][j].reshape(N, nm, 4, 64), ems[1][j].reshape(N, nm, 1, 64),
-             ems[2][j].reshape(N, nm, 1, 64)], axis=2
-        ).reshape(N * nm * 6, 64)
-        for j in range(3)
-    )
-    words, bits = E.pack_block_words(hi, lo, nb)
-    W = words.shape[-1]
-    words = words.reshape(N, nm * 6, W)
-    bits = bits.reshape(N, nm * 6)
+    # pack per component, then interleave the PACKED words to MCU order
+    # (one relayout instead of three; same rationale as sharded._emit_local)
+    packed = []
+    for hi, lo, nb in ems:
+        w_c, b_c = E.pack_block_words(
+            hi.reshape(-1, 64), lo.reshape(-1, 64), nb.reshape(-1, 64))
+        packed.append((w_c.reshape(N, -1, w_c.shape[-1]),
+                       b_c.reshape(N, -1)))
+    W = packed[0][0].shape[-1]
+    words = jnp.concatenate(
+        [packed[0][0].reshape(N, nm, 4, W),
+         packed[1][0].reshape(N, nm, 1, W),
+         packed[2][0].reshape(N, nm, 1, W)], axis=2).reshape(N, nm * 6, W)
+    bits = jnp.concatenate(
+        [packed[0][1].reshape(N, nm, 4),
+         packed[1][1].reshape(N, nm, 1),
+         packed[2][1].reshape(N, nm, 1)], axis=2).reshape(N, nm * 6)
     return _concat_batch_combined(words, bits, restart_interval), words, bits
 
 

@@ -133,18 +133,30 @@ def _emit_local(yq, cbq, crq, *, tile_axis: str | None,
 
     n_loc = ems[1][0].shape[0]
     nm = ems[1][0].shape[1]
-    # interleave emissions to MCU order (Y0..Y3, Cb, Cr), then pack once
-    hi, lo, nb = (
-        jnp.concatenate(
-            [ems[0][j].reshape(n_loc, nm, 4, 64),
-             ems[1][j].reshape(n_loc, nm, 1, 64),
-             ems[2][j].reshape(n_loc, nm, 1, 64)], axis=2
-        ).reshape(n_loc * nm * 6, 64)
-        for j in range(3)
-    )
-    words, bits = E.pack_block_words(hi, lo, nb, use_pallas=use_pallas)
-    W = words.shape[-1]
-    return words.reshape(n_loc, nm * 6, W), bits.reshape(n_loc, nm * 6)
+    # pack per component, THEN interleave the packed words to MCU order
+    # (Y0..Y3, Cb, Cr): one [B, W] relayout instead of three [B, 64]
+    # emission relayouts (the pre-pack interleave cost ~1.4 ms/batch of
+    # pure data movement in the r5 stage attribution).  Per-block packed
+    # words are order-independent, so the streams are bit-identical.
+    packed = []
+    for hi, lo, nb in ems:
+        w_c, b_c = E.pack_block_words(
+            hi.reshape(-1, 64), lo.reshape(-1, 64), nb.reshape(-1, 64),
+            use_pallas=use_pallas)
+        packed.append((w_c.reshape(n_loc, -1, w_c.shape[-1]),
+                       b_c.reshape(n_loc, -1)))
+    W = packed[0][0].shape[-1]
+    words = jnp.concatenate(
+        [packed[0][0].reshape(n_loc, nm, 4, W),
+         packed[1][0].reshape(n_loc, nm, 1, W),
+         packed[2][0].reshape(n_loc, nm, 1, W)], axis=2
+    ).reshape(n_loc, nm * 6, W)
+    bits = jnp.concatenate(
+        [packed[0][1].reshape(n_loc, nm, 4),
+         packed[1][1].reshape(n_loc, nm, 1),
+         packed[2][1].reshape(n_loc, nm, 1)], axis=2
+    ).reshape(n_loc, nm * 6)
+    return words, bits
 
 
 def _mesh_use_pallas(mesh: Mesh) -> bool | None:
