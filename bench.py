@@ -371,9 +371,12 @@ def measure(platform: str) -> dict:
     t_up_ri = time.time() - t0
     from jpezy_tpu.ops.entropy_decode import build_scan_tables, device_lut
     lut_dev = device_lut(build_scan_tables(pjs_ri[0].huff))
+    qarr_dev = jax.block_until_ready(jnp.asarray(np.stack([
+        np.stack([np.asarray(pj.quant[fc.Tq], np.int32)
+                  for fc in pj.frame_components]) for pj in pjs_ri])))
     run_ri = lambda: _decode_fused_batch_device(
-        words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev,
-        N=batch_n, nseg=nseg, ri=RI, geom=geom, level=128, qtuple=qtuple)
+        words_dev, nblk_dev, lut_dev, tsel_dev, rawlen_dev, qarr_dev,
+        N=batch_n, nseg=nseg, ri=RI, geom=geom, level=128)
     out_ri2 = run_ri(); jax.block_until_ready(out_ri2)
     t_dev_ri = _bracket(run_ri, lambda o: o[0, :1])
     t0 = time.time(); _ = np.asarray(out_ri2); t_fetch_ri = time.time() - t0

@@ -842,10 +842,10 @@ def _decode_fused_batch_ycc420(flat, *, geom, level, shapes, K, N, caps,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "N", "nseg", "ri", "geom", "level", "qtuple"))
-def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen,
+    "N", "nseg", "ri", "geom", "level"))
+def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen, qarr,
                                skip0=None, preds0=None, *, N, nseg,
-                               ri, geom, level, qtuple):
+                               ri, geom, level):
     """FULL device decode for restart-interval 4:2:0 streams: raw destuffed
     entropy bytes in, packed native-resolution u8 YCC planes out.
 
@@ -855,9 +855,12 @@ def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen,
     encoder's on-device stream concat (VERDICT r3 #3; referent: the serial
     chain jpezy_decoder.hpp:583-642).
     words: [N*nseg, Lw] uint32 BE segment matrix; nblk: [N*nseg] int32;
-    lut: [T, 6, 65536] with tsel [N*nseg] selecting each lane's table set
-    (per-image DHT tables, VERDICT r4 #3); rawlen: [N*nseg] destuffed byte
-    lengths feeding the corruption check (VERDICT r4 #4).
+    lut: [T, 6, 65536] (or chain tables) with tsel [N*nseg] selecting each
+    lane's table set (per-image DHT tables, VERDICT r4 #3); rawlen:
+    [N*nseg] destuffed byte lengths feeding the corruption check (VERDICT
+    r4 #4); qarr: [N, 3, 64] int32 PER-IMAGE quant tables (traced, so
+    mixed-quality batches share one executable and quality changes don't
+    recompile).
     Output layout = _decode_fused_batch_ycc420 plus ONE trailing bad-flag
     byte per image (still a single fetch; the C++ runtime finishes
     upsample+color after _decode_batch_device_finish validates the flags).
@@ -875,11 +878,11 @@ def _decode_fused_batch_device(words, nblk, lut, tsel, rawlen,
         b6[:, :, 5],
     )
     outs = []
-    for cb, qt, (my, mx, v, h, _, _) in zip(comps, qtuple, geom):
+    for c, (cb, (my, mx, v, h, _, _)) in enumerate(zip(comps, geom)):
         Bn = cb.shape[1]
-        deq = Q.dequantize(cb.reshape(-1, 64).astype(jnp.int32),
-                           jnp.asarray(np.array(qt, np.int32)))
-        spat = D.inverse_dct(deq, level, jnp.float32).reshape(N, Bn, 64)
+        deq = cb.astype(jnp.int32) * qarr[:, c][:, None, :]
+        spat = D.inverse_dct(deq.reshape(-1, 64), level,
+                             jnp.float32).reshape(N, Bn, 64)
         plane = spat.reshape(N, my, mx, v, h, 8, 8).transpose(
             0, 1, 3, 5, 2, 4, 6).reshape(N, my * v * 8, mx * h * 8)
         outs.append(jnp.clip(plane, 0, 255).astype(jnp.uint8).reshape(N, -1))
@@ -1001,16 +1004,21 @@ def _decode_batch_indexed_dispatch(pjs, p0, geos, mcus_x, mcus_y, level,
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
         for i, fc in enumerate(p0.frame_components)
     )
-    qtuple = tuple(
-        tuple(int(x) for x in p0.quant[fc.Tq])
-        for fc in p0.frame_components
-    )
     packed = _decode_fused_batch_device(
         jnp.asarray(words), jnp.asarray(nblk), device_lut(lut),
-        jnp.asarray(tsel), None, jnp.asarray(skip0), jnp.asarray(preds0),
-        N=N, nseg=nseg, ri=k_mcus, geom=geom, level=level, qtuple=qtuple,
+        jnp.asarray(tsel), None, jnp.asarray(_quant_arr(pjs)),
+        jnp.asarray(skip0), jnp.asarray(preds0),
+        N=N, nseg=nseg, ri=k_mcus, geom=geom, level=level,
     )
     return ("device", packed, p0.props, N, mcus_x, mcus_y)
+
+
+def _quant_arr(pjs) -> np.ndarray:
+    """[N, 3, 64] int32 per-image quant tables (device dequant input)."""
+    return np.stack([
+        np.stack([np.asarray(pj.quant[fc.Tq], np.int32)
+                  for fc in pj.frame_components])
+        for pj in pjs])
 
 
 def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
@@ -1018,8 +1026,8 @@ def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     restart offsets, destuff segments into a [S, L] matrix (C++,
     multithreaded), ONE upload of big-endian words + per-lane block counts
     + destuffed lengths.  Requires: every stream shares p0's
-    restart_interval and quant tables; Huffman tables may differ per image
-    (deduplicated LUT sets, per-lane select)."""
+    restart_interval; Huffman AND quant tables may differ per image
+    (deduplicated LUT sets + per-lane select; traced [N, 3, 64] quant)."""
     from ..ops.entropy_decode import device_lut
     from ..runtime import native
 
@@ -1030,10 +1038,6 @@ def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     for pj in pjs[1:]:
         if pj.restart_interval != ri:
             raise ValueError("transport='device' needs uniform DRI")
-        for fc, fc0 in zip(pj.frame_components, p0.frame_components):
-            if not np.array_equal(pj.quant[fc.Tq], p0.quant[fc0.Tq]):
-                raise ValueError(
-                    "transport='device' needs uniform quant tables")
     N = len(pjs)
     nmcu = mcus_x * mcus_y
     nseg = -(-nmcu // ri)
@@ -1043,14 +1047,11 @@ def _decode_batch_device_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
         (mcus_y, mcus_x, fc.V, fc.H, geos[i].dup_y, geos[i].dup_x)
         for i, fc in enumerate(p0.frame_components)
     )
-    qtuple = tuple(
-        tuple(int(x) for x in p0.quant[fc.Tq])
-        for fc in p0.frame_components
-    )
     packed = _decode_fused_batch_device(
         jnp.asarray(words), jnp.asarray(nblk), device_lut(lut),
         jnp.asarray(tsel), jnp.asarray(rawlen),
-        N=N, nseg=nseg, ri=ri, geom=geom, level=level, qtuple=qtuple,
+        jnp.asarray(_quant_arr(pjs)),
+        N=N, nseg=nseg, ri=ri, geom=geom, level=level,
     )
     # ycc420 layout + one bad-flag byte per image (_decode_batch_device_finish)
     return ("device", packed, p0.props, N, mcus_x, mcus_y)
@@ -1162,6 +1163,7 @@ def decode_batch_dispatch(streams: list[bytes], *, gray: bool = False,
         except ImportError:
             pass  # no native runtime: fall through to rgb transport
 
+    _check_uniform_quant(pjs, p0)
     per_image = _decode_entropy_batch(pjs)
     sizes = tuple(int(per_image[0][c].shape[0]) for c in range(ncomp))
     dt0 = np.result_type(*[cb.dtype for cb in per_image[0]])
@@ -1289,8 +1291,22 @@ def _ycc420_host_frontend(pjs, K: int = 10):
     return flat_host, shapes, tuple(caps)
 
 
+def _check_uniform_quant(pjs, p0) -> None:
+    """The host-frontend transports dequantize every image with p0's
+    tables; a mixed-quality batch would silently decode garbage.  (The
+    device transport carries per-image quant and has no such limit.)"""
+    for pj in pjs[1:]:
+        for fc, fc0 in zip(pj.frame_components, p0.frame_components):
+            if not np.array_equal(pj.quant[fc.Tq], p0.quant[fc0.Tq]):
+                raise ValueError(
+                    "decode_batch needs uniform quant tables on this "
+                    "transport (mixed-quality batches decode on "
+                    "transport='device'/'indexed')")
+
+
 def _decode_batch_ycc420_dispatch(pjs, p0, geos, mcus_x, mcus_y, level):
     """Sparse-upload / planar-download fast transport (see decode_batch)."""
+    _check_uniform_quant(pjs, p0)
     K = 10
     N = len(pjs)
     flat_host, shapes, caps = _ycc420_host_frontend(pjs, K)

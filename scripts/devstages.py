@@ -172,10 +172,14 @@ def main():
             (h // 16, w // 16, 1, 1, 2, 2))
     qt = tuple(tuple(int(x) for x in pjs[0].quant[fc.Tq])
                for fc in pjs[0].frame_components)
+    qarr = jax.block_until_ready(jnp.asarray(np.stack([
+        np.stack([np.asarray(pjs[0].quant[fc.Tq], np.int32)
+                  for fc in pjs[0].frame_components])] * N)))
     fulldec = jax.jit(functools.partial(
         _decode_fused_batch_device.__wrapped__, N=N, nseg=nseg, ri=RI,
-        geom=geom, level=128, qtuple=qt))
-    clock("FULL device decode (w/ scan)", fulldec, (wd, nb, lut, tsel, rl))
+        geom=geom, level=128))
+    clock("FULL device decode (w/ scan)", fulldec,
+          (wd, nb, lut, tsel, rl, qarr))
 
     # decode e2e (host+device+transfers)
     streams = JC.encode_batch(rgbs)

@@ -182,6 +182,39 @@ class TestPerImageTables:
         rb = np.stack(jax_codec.decode(data, transport="ycc420")[:3])
         assert np.array_equal(ra, rb)
 
+    def test_mixed_quality_batch_on_device(self):
+        """Per-image QUANT tables too (traced [N, 3, 64] dequant): a
+        mixed-quality foreign batch decodes bit-exact per stream, while
+        the host-frontend transports refuse it instead of silently
+        dequantizing every image with stream 0's tables."""
+        from imagegen import make_test_image
+
+        batch = np.stack([make_test_image(64, 64, seed=90 + i)
+                          for i in range(3)])
+        streams = [jax_codec.encode(
+            batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2],
+            restart_interval=2, quality=q)
+            for i, q in enumerate((50, 75, 30))]
+        pix, _ = jax_codec.decode_batch(streams, transport="device")
+        for i, s in enumerate(streams):
+            r, g, b, _ = jax_codec.decode(s, transport="ycc420")
+            assert np.array_equal(pix[i], np.stack([r, g, b], -1)), i
+        with pytest.raises(ValueError, match="uniform quant"):
+            jax_codec.decode_batch(streams, transport="ycc420")
+
+    def test_mixed_quality_batch_indexed(self):
+        from imagegen import make_test_image
+
+        batch = np.stack([make_test_image(64, 64, seed=95 + i)
+                          for i in range(2)])
+        streams = [jax_codec.encode(
+            batch[i, ..., 0], batch[i, ..., 1], batch[i, ..., 2], quality=q)
+            for i, q in enumerate((85, 40))]
+        pix, _ = jax_codec.decode_batch(streams, transport="indexed")
+        for i, s in enumerate(streams):
+            r, g, b, _ = jax_codec.decode(s, transport="ycc420")
+            assert np.array_equal(pix[i], np.stack([r, g, b], -1)), i
+
     def test_single_optimize_image_auto_device(self, small_rgb, monkeypatch):
         """The auto-picked decode of our optimize+restart output must stay
         on the device transport (no silent downgrade, VERDICT r4 #2)."""
