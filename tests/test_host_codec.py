@@ -88,6 +88,47 @@ class TestHostDecode:
         for a, b in zip(got[:3], want[:3]):
             np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize("sub,name", [(0, "444"), (1, "422")])
+    def test_foreign_sampling(self, sub, name):
+        """4:4:4 / 4:2:2 libjpeg streams through the host decode tail
+        (arbitrary sampling, like the reference decoder)."""
+        import io
+
+        from PIL import Image
+
+        img = make_test_image(64, 64, seed=31)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85, subsampling=sub)
+        got = host_codec.decode(buf.getvalue())
+        want = oracle.decode(buf.getvalue())
+        for a, b in zip(got[:3], want[:3]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_one_component_stream(self):
+        import io
+
+        from PIL import Image
+
+        img = make_test_image(64, 64, seed=32)
+        buf = io.BytesIO()
+        Image.fromarray(img[..., 0], mode="L").save(buf, "JPEG", quality=85)
+        r, g, b, _ = host_codec.decode(buf.getvalue())
+        ro, go, bo, _ = oracle.decode(buf.getvalue())
+        np.testing.assert_array_equal(r, ro)
+        assert np.array_equal(r, g) and np.array_equal(g, b)
+
+    def test_progressive_rejected(self):
+        import io
+
+        from PIL import Image
+        from jpezy_tpu.bitstream.reader import JpegFormatError
+
+        img = make_test_image(64, 64, seed=33)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", progressive=True, quality=80)
+        with pytest.raises((JpegFormatError, ValueError)):
+            host_codec.decode(buf.getvalue())
+
     def test_gray_flag(self):
         img = make_test_image(64, 64, seed=23)
         data = oracle.encode(img[..., 0], img[..., 1], img[..., 2])
