@@ -314,6 +314,47 @@ def _concat_batch_combined(words, bits, restart_interval: int):
         [totals[:, None].astype(jnp.uint32), streams], axis=1)
 
 
+def _concat_batch_combined_comp(wc, bc, restart_interval: int):
+    """Batched device splice from PER-COMPONENT packed words (no MCU
+    interleave of the big [B, W] arrays on device: the stream scatter is
+    order-independent, so blocks scatter from component order with
+    MCU-ordered global bit offsets -- only the tiny [N, nm*6] bits array
+    is interleaved).  Returns (combined, words_comp [N, nm*6, W] in
+    component order, bits_mcu [N, nm*6] in MCU order); overflow fallbacks
+    reorder the words on HOST (encode_batch_finish)."""
+    N, nm = bc[1].shape
+    bits_mcu = jnp.concatenate(
+        [bc[0].reshape(N, nm, 4), bc[1].reshape(N, nm, 1),
+         bc[2].reshape(N, nm, 1)], axis=2).reshape(N, nm * 6)
+    maxw = stream_budget_words_batch(nm * 6)
+    if restart_interval:
+        goff, total, seg_bits = E.stream_offsets_restart_batch(
+            bits_mcu, 6 * restart_interval)
+    else:
+        goff, total = E.stream_offsets_batch(bits_mcu)
+        seg_bits = None
+    g6 = goff.reshape(N, nm, 6)
+    goff_c = jnp.concatenate(
+        [g6[:, :, :4].reshape(N, nm * 4), g6[:, :, 4], g6[:, :, 5]], axis=1)
+    words_c = jnp.concatenate(wc, axis=1)
+    bits_c = jnp.concatenate(bc, axis=1)
+    stream = E._concat_batch_scatter(words_c, bits_c, goff_c, maxw)
+    head = [total[:, None].astype(jnp.uint32)]
+    if seg_bits is not None:
+        head.append(seg_bits.astype(jnp.uint32))
+    combined = jnp.concatenate(head + [stream], axis=1)
+    return combined, words_c, bits_mcu
+
+
+def _words_comp_to_mcu(w: np.ndarray, nm: int) -> np.ndarray:
+    """Host-side reorder of one image's component-ordered packed words
+    [nm*6, ...] to MCU order (overflow fallback only)."""
+    return np.concatenate(
+        [w[: nm * 4].reshape(nm, 4, -1),
+         w[nm * 4: nm * 5].reshape(nm, 1, -1),
+         w[nm * 5:].reshape(nm, 1, -1)], axis=1).reshape(nm * 6, -1)
+
+
 def _batch_qtables(quality):
     return (T.scale_quant_tables(quality) if quality is not None else None)
 
@@ -337,12 +378,12 @@ def _encode_batch_blocks_ycc(y, cb, cr, *, gray=False, precision="fast",
                              rounded=False, quality=None, restart_interval=0):
     from ..parallel.sharded import _encode_local_ycc
 
-    words, bits = _encode_local_ycc(
+    wc, bc = _encode_local_ycc(
         y, cb, cr, gray=gray, dtype=_dtype(precision), rounded=rounded,
         tile_axis=None, qtables=_batch_qtables(quality),
-        restart_interval=restart_interval,
+        restart_interval=restart_interval, interleave=False,
     )
-    return _concat_batch_combined(words, bits, restart_interval), words, bits
+    return _concat_batch_combined_comp(wc, bc, restart_interval)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -533,6 +574,7 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
         return dict(combined=combined, words=words, bits=bits, n=n, h=h,
                     w=w, gray=gray, huff=huffs, ri=ri, quality=quality,
                     size=_size, props=_props)
+    words_order = "mcu"
     if transport == "ycc420":
         y, cb, cr = host_rgb_to_ycc420(rgbs)
         packed = np.concatenate(
@@ -542,6 +584,7 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
             gray=gray, precision=precision, rounded=rounded,
             quality=quality, restart_interval=ri,
         )
+        words_order = "comp"    # _concat_batch_combined_comp layout
     else:
         combined, words, bits = _encode_batch_blocks(
             jnp.asarray(rgbs[..., 0]), jnp.asarray(rgbs[..., 1]),
@@ -550,7 +593,7 @@ def encode_batch_dispatch(rgbs: np.ndarray, *, gray: bool = False,
         )
     return dict(combined=combined, words=words, bits=bits, n=n, h=h, w=w,
                 gray=gray, huff=None, ri=ri, quality=quality, size=_size,
-                props=_props)
+                props=_props, words_order=words_order)
 
 
 def encode_batch_finish(ticket) -> list[bytes]:
@@ -572,6 +615,15 @@ def encode_batch_finish(ticket) -> list[bytes]:
     if not isinstance(huff, list):
         header = writer.write_header(props, restart_interval=ri,
                                      quant_tables=qt, huff_tables=huff)
+
+    def _wmcu(i):
+        """Per-image words in MCU order (overflow fallback only): the
+        fast transport keeps words in component order on device."""
+        wi = np.asarray(words[i])
+        if ticket.get("words_order") == "comp":
+            wi = _words_comp_to_mcu(wi, geo.num_mcus)
+        return wi
+
     out = []
     for i in range(n):
         if isinstance(huff, list):  # per-image optimal tables
@@ -585,15 +637,14 @@ def encode_batch_finish(ticket) -> list[bytes]:
                 raw = combined[i, 1 + S :].astype(">u4").tobytes()
             else:  # overflow: host splice for this image only (ADVICE r2)
                 raw = _splice_restart_raw(
-                    np.asarray(words[i]), np.asarray(bits[i]), S, ri,
-                    seg_bits)
+                    _wmcu(i), np.asarray(bits[i]), S, ri, seg_bits)
             out.append(header + _assemble_restart_segments(raw, seg_bits)
                        + writer.EOI)
             continue
         if total <= 32 * maxw:
             packed = _stream_to_bytes(combined[i, 1:], total)
         else:  # overflow: host splice for this image only
-            packed, _ = splice_blocks(np.asarray(words[i]), np.asarray(bits[i]))
+            packed, _ = splice_blocks(_wmcu(i), np.asarray(bits[i]))
         out.append(writer.assemble(header, packed))
     return out
 

@@ -374,12 +374,36 @@ def _concat_batch_scatter(words, bits, goff, maxw: int):
     return _scatter_tiered(scat, contrib, bits, W + 1).reshape(N, maxw)
 
 
+def stream_offsets_batch(bits):
+    """Global bit offsets for stream-ordered blocks: [N, B] bits ->
+    (goff [N, B], total [N])."""
+    goff = jnp.cumsum(bits, axis=1) - bits
+    total = goff[:, -1] + bits[:, -1]
+    return goff, total
+
+
+def stream_offsets_restart_batch(bits, seg_blocks: int):
+    """Segment-aligned bit offsets (restart encode): [N, B] stream-ordered
+    bits -> (goff [N, B], total [N], seg_bits [N, S]).  Each segment
+    starts byte-aligned (T.81 requires RSTn markers byte-aligned)."""
+    N, B = bits.shape
+    S = -(-B // seg_blocks)
+    bp = jnp.pad(bits, ((0, 0), (0, S * seg_blocks - B)))
+    bseg = bp.reshape(N, S, seg_blocks)
+    seg_bits = bseg.sum(axis=2)
+    seg_span = ((seg_bits + 7) // 8) * 8            # byte-aligned span
+    base = jnp.cumsum(seg_span, axis=1) - seg_span
+    within = jnp.cumsum(bseg, axis=2) - bseg
+    goff = (base[:, :, None] + within).reshape(N, -1)[:, :B]
+    total = base[:, -1] + seg_span[:, -1]
+    return goff, total, seg_bits
+
+
 def concat_device_batch(words, bits, maxw: int):
     """Batched concat_device: [N, B, W] + [N, B] -> ([N, maxw], [N]).
 
     One global scatter over a flattened [N*maxw] buffer (no vmap)."""
-    goff = jnp.cumsum(bits, axis=1) - bits
-    total = goff[:, -1] + bits[:, -1]
+    goff, total = stream_offsets_batch(bits)
     return _concat_batch_scatter(words, bits, goff, maxw), total
 
 
@@ -392,16 +416,7 @@ def concat_device_restart_batch(words, bits, maxw: int, seg_blocks: int):
     per-image scatters -- the vmapped form had to disable the tiers (cond
     -> select under vmap) and measured 56.6 ms/batch vs 4.1 for the
     restart-free concat (scripts/devstages.py, round 4)."""
-    N, B, W = words.shape
-    S = -(-B // seg_blocks)
-    bp = jnp.pad(bits, ((0, 0), (0, S * seg_blocks - B)))
-    bseg = bp.reshape(N, S, seg_blocks)
-    seg_bits = bseg.sum(axis=2)
-    seg_span = ((seg_bits + 7) // 8) * 8            # byte-aligned span
-    base = jnp.cumsum(seg_span, axis=1) - seg_span
-    within = jnp.cumsum(bseg, axis=2) - bseg
-    goff = (base[:, :, None] + within).reshape(N, -1)[:, :B]
-    total = base[:, -1] + seg_span[:, -1]
+    goff, total, seg_bits = stream_offsets_restart_batch(bits, seg_blocks)
     return _concat_batch_scatter(words, bits, goff, maxw), total, seg_bits
 
 

@@ -54,18 +54,22 @@ def _encode_local(r, g, b, *, gray: bool, dtype, rounded: bool, tile_axis: str |
 
 def _encode_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
                       tile_axis: str | None, use_pallas: bool | None = None,
-                      qtables=None, restart_interval: int = 0):
+                      qtables=None, restart_interval: int = 0,
+                      interleave: bool = True):
     """Encode from level-shifted YCC planes (chroma already 4:2:0 decimated).
 
     y: [N_loc, H_loc, W] int (Y-128); cb/cr: [N_loc, H_loc/2, W/2] int.
     Entry point for the host-converted int8 upload transport (half the
     link bytes of RGB; see codec.jax_codec.host_rgb_to_ycc420).
+    interleave=False returns per-component (words, bits) tuples instead
+    of MCU-interleaved arrays (see _emit_local).
     """
     yq, cbq, crq = _quantize_local_ycc(
         y, cb, cr, gray=gray, dtype=dtype, rounded=rounded, qtables=qtables)
     return _emit_local(yq, cbq, crq, tile_axis=tile_axis,
                        use_pallas=use_pallas,
-                       restart_interval=restart_interval)
+                       restart_interval=restart_interval,
+                       interleave=interleave)
 
 
 def _quantize_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
@@ -94,7 +98,7 @@ def _quantize_local_ycc(y, cb, cr, *, gray: bool, dtype, rounded: bool,
 
 def _emit_local(yq, cbq, crq, *, tile_axis: str | None,
                 use_pallas: bool | None = None, tables=(None, None),
-                restart_interval: int = 0):
+                restart_interval: int = 0, interleave: bool = True):
     """Quantized blocks -> (words, bits), with the DC-carry ppermute when
     tile-sharded.  tables: optional (ytables, ctables) custom flat Huffman
     tables (see ops.entropy.block_emissions).
@@ -145,6 +149,13 @@ def _emit_local(yq, cbq, crq, *, tile_axis: str | None,
             use_pallas=use_pallas)
         packed.append((w_c.reshape(n_loc, -1, w_c.shape[-1]),
                        b_c.reshape(n_loc, -1)))
+    if not interleave:
+        # COMPONENT-ordered return (jax_codec._encode_batch_blocks_ycc):
+        # the stream concat's scatter-add is order-independent, so even
+        # the post-pack MCU interleave of the [B, W] words can be skipped
+        # -- only the tiny [n, nm*6] bits array is interleaved (for the
+        # global bit offsets), and overflow fallbacks reorder on host
+        return (tuple(p[0] for p in packed), tuple(p[1] for p in packed))
     W = packed[0][0].shape[-1]
     words = jnp.concatenate(
         [packed[0][0].reshape(n_loc, nm, 4, W),

@@ -8,7 +8,7 @@ in exact mode (float64 host color == float64 device color).
 import numpy as np
 import pytest
 
-from jpezy_tpu.codec import jax_codec
+from jpezy_tpu.codec import jax_codec, oracle
 
 
 @pytest.fixture(scope="module")
@@ -91,3 +91,20 @@ class TestBatchOptimizePerImage:
         ref = _singles(batch3, precision="exact", optimize=True, quality=70,
                        restart_interval=2)
         assert got == ref
+
+
+class TestOverflowCompOrderSplice:
+    """The fast transport keeps packed words in COMPONENT order on device
+    (no MCU interleave); the overflow fallback must reorder them on host
+    before splicing.  256x256 noise overflows the 2-word/block stream
+    budget deterministically; exact mode pins byte equality vs the
+    oracle through the host-splice path."""
+
+    @pytest.mark.parametrize("ri", [0, 4])
+    def test_overflow_byte_identical(self, ri):
+        rng = np.random.default_rng(11)
+        noise = rng.integers(0, 256, (256, 256, 3), np.uint8)
+        r, g, b = noise[..., 0], noise[..., 1], noise[..., 2]
+        d = jax_codec.encode(r, g, b, precision="exact",
+                             restart_interval=ri)
+        assert d == oracle.encode(r, g, b, restart_interval=ri)
